@@ -1,0 +1,116 @@
+"""NMS peak extraction: 3x3 local maxima + 7x7 sub-pixel refinement.
+
+Reference semantics (src/openpose/net/nmsBase.cpp:6-170, CUDA twin
+nmsBase.cu):
+
+* interior pixels (1 < x < W-2, 1 < y < H-2): peak iff value > threshold and
+  strictly greater than all 8 neighbors;
+* first inner border (x==1 | x==W-2 | y==1 | y==H-2): ``>=`` comparisons, with
+  missing neighbors treated as `threshold` (this asymmetric rule absorbs the
+  resize artifacts the reference documents at nmsBase.cpp:10-14);
+* outermost border: never a peak;
+* peaks are emitted in row-major scan order, capped at `max_peaks`;
+* sub-pixel refinement (nmsAccuratePeakPosition, nmsBase.cpp:70-107): score-
+  weighted centroid over the 7x7 window (only score>0 samples) plus a
+  (+0.5, +0.5) "Matlab offset"; the reported score is the raw peak value.
+
+Output layout matches the reference target blob: [N, C, max_peaks+1, 3] with
+slot 0 carrying the peak count in component 0.
+
+The implementation is pure XLA: shifted compares + two separable 7-tap
+convolutions + top_k compaction — all fusable, no data-dependent shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _shift2d(x: jax.Array, dy: int, dx: int, fill: jax.Array) -> jax.Array:
+    """x[..., y+dy, x+dx, ...] for NHWC input, filling out-of-range with fill."""
+    n, h, w, c = x.shape
+    padded = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=0.0)
+    shifted = jax.lax.dynamic_slice(padded, (0, 1 + dy, 1 + dx, 0), x.shape)
+    # Mark out-of-range lanes with `fill`
+    ys = jnp.arange(h)[None, :, None, None] + dy
+    xs = jnp.arange(w)[None, None, :, None] + dx
+    valid = (ys >= 0) & (ys < h) & (xs >= 0) & (xs < w)
+    return jnp.where(valid, shifted, fill)
+
+
+def _box7_sums(heat: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Separable 7x7 sums of (s, x*s, y*s) with s = max(heat, 0)."""
+    n, h, w, c = heat.shape
+    s = jnp.maximum(heat, 0.0)
+    xs = jnp.arange(w, dtype=heat.dtype)[None, None, :, None]
+    ys = jnp.arange(h, dtype=heat.dtype)[None, :, None, None]
+    stack = jnp.concatenate([s, s * xs, s * ys], axis=-1)  # [N,H,W,3C]
+    kern = jnp.ones((7, 1, 1), heat.dtype)
+    # depthwise 7x1 then 1x7 via reduce_window (cheap, fusable)
+    summed = jax.lax.reduce_window(
+        stack, 0.0, jax.lax.add, (1, 7, 1, 1), (1, 1, 1, 1),
+        [(0, 0), (3, 3), (0, 0), (0, 0)])
+    summed = jax.lax.reduce_window(
+        summed, 0.0, jax.lax.add, (1, 1, 7, 1), (1, 1, 1, 1),
+        [(0, 0), (0, 0), (3, 3), (0, 0)])
+    return summed[..., :c], summed[..., c:2 * c], summed[..., 2 * c:]
+
+
+@functools.partial(jax.jit, static_argnames=("max_peaks", "offset"))
+def nms(heatmaps: jax.Array, threshold: jax.Array, max_peaks: int = 127,
+        offset: Tuple[float, float] = (0.5, 0.5)) -> jax.Array:
+    """Extract peaks from [N, H, W, C] part heatmaps.
+
+    Returns [N, C, max_peaks+1, 3] float32; [n, c, 0, 0] is the count,
+    slots 1..count are (x, y, score) in row-major discovery order.
+    """
+    heat = heatmaps.astype(jnp.float32)
+    n, h, w, c = heat.shape
+    thr = jnp.asarray(threshold, jnp.float32)
+
+    neigh = [_shift2d(heat, dy, dx, thr)
+             for dy in (-1, 0, 1) for dx in (-1, 0, 1) if not (dy == 0 and dx == 0)]
+    gt_all = jnp.ones_like(heat, bool)
+    ge_all = jnp.ones_like(heat, bool)
+    for nb in neigh:
+        gt_all &= heat > nb
+        ge_all &= heat >= nb
+
+    ys = jnp.arange(h)[None, :, None, None]
+    xs = jnp.arange(w)[None, None, :, None]
+    interior = (xs > 1) & (xs < w - 2) & (ys > 1) & (ys < h - 2)
+    inner = ((xs == 1) | (xs == w - 2) | (ys == 1) | (ys == h - 2))
+    is_peak = (heat > thr) & ((interior & gt_all) | (inner & ge_all))
+
+    # Sub-pixel refinement maps, evaluated everywhere (cheap separable sums)
+    s_sum, sx_sum, sy_sum = _box7_sums(heat)
+    denom = jnp.where(s_sum > 0, s_sum, 1.0)
+    x_ref = sx_sum / denom + offset[0]
+    y_ref = sy_sum / denom + offset[1]
+
+    # Compaction: first `max_peaks` peaks in row-major order per (n, c)
+    flat_idx = (ys * w + xs).astype(jnp.int32)          # [1,H,W,1]
+    big = jnp.int32(h * w)
+    masked = jnp.where(is_peak, flat_idx, big)          # [N,H,W,C]
+    masked = masked.transpose(0, 3, 1, 2).reshape(n, c, h * w)
+    neg_topk, _ = jax.lax.top_k(-masked, max_peaks)     # ascending row-major idx
+    peak_idx = -neg_topk                                # [N,C,max_peaks]
+    valid = peak_idx < big
+    count = valid.sum(axis=-1).astype(jnp.float32)      # [N,C]
+    peak_idx = jnp.where(valid, peak_idx, 0)
+
+    def gather_map(m):  # [N,H,W,C] -> [N,C,max_peaks]
+        mc = m.transpose(0, 3, 1, 2).reshape(n, c, h * w)
+        return jnp.take_along_axis(mc, peak_idx, axis=-1)
+
+    px = jnp.where(valid, gather_map(x_ref), 0.0)
+    py = jnp.where(valid, gather_map(y_ref), 0.0)
+    ps = jnp.where(valid, gather_map(heat), 0.0)
+
+    peaks = jnp.stack([px, py, ps], axis=-1)            # [N,C,max_peaks,3]
+    header = jnp.zeros((n, c, 1, 3), jnp.float32).at[:, :, 0, 0].set(count)
+    return jnp.concatenate([header, peaks], axis=2)

@@ -1,0 +1,183 @@
+"""Kernel-level parity tests: vectorized TPU ops vs scalar reference oracles."""
+
+import numpy as np
+import pytest
+
+from openpose_tpu.ops import assembly, nms, paf, resize
+from tests import oracle
+
+
+def _random_heat(h, w, n_blobs, seed):
+    rng = np.random.RandomState(seed)
+    heat = np.zeros((h, w), np.float32)
+    ys, xs = np.mgrid[0:h, 0:w]
+    for _ in range(n_blobs):
+        cy, cx = rng.uniform(2, h - 3), rng.uniform(2, w - 3)
+        amp = rng.uniform(0.3, 1.0)
+        heat += amp * np.exp(-((ys - cy) ** 2 + (xs - cx) ** 2) / 4.0)
+    heat += rng.uniform(-0.02, 0.02, heat.shape).astype(np.float32)
+    return heat.astype(np.float32)
+
+
+class TestNms:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_oracle(self, seed):
+        h, w = 40, 56
+        heat = _random_heat(h, w, 6, seed)
+        want = oracle.nms_oracle(heat, 0.05, 127)
+        got = np.asarray(nms.nms(heat[None, :, :, None], 0.05, 127))[0, 0]
+        assert got[0, 0] == want[0, 0], "peak count mismatch"
+        n = int(want[0, 0])
+        np.testing.assert_allclose(got[1:n + 1], want[1:n + 1],
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_border_rules(self):
+        # Peak on the first inner border uses >= (plateau allowed)
+        heat = np.zeros((12, 12), np.float32)
+        heat[1, 1] = 0.5
+        got = np.asarray(nms.nms(heat[None, :, :, None], 0.05, 10))[0, 0]
+        assert got[0, 0] == 1
+        # Peak on the outermost border is never registered
+        heat2 = np.zeros((12, 12), np.float32)
+        heat2[0, 5] = 0.9
+        got2 = np.asarray(nms.nms(heat2[None, :, :, None], 0.05, 10))[0, 0]
+        assert got2[0, 0] == 0
+
+    def test_max_peaks_cap(self):
+        heat = np.zeros((30, 30), np.float32)
+        for y in range(2, 28, 3):
+            for x in range(2, 28, 3):
+                heat[y, x] = 1.0
+        got = np.asarray(nms.nms(heat[None, :, :, None], 0.05, 5))[0, 0]
+        assert got[0, 0] == 5
+        want = oracle.nms_oracle(heat, 0.05, 5)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestResize:
+    @pytest.mark.parametrize("shape,target", [((6, 10), (48, 80)),
+                                              ((9, 7), (36, 28))])
+    def test_upsample_matches_oracle(self, shape, target):
+        rng = np.random.RandomState(0)
+        src = rng.randn(*shape).astype(np.float32)
+        want = oracle.cubic_resize_oracle(src, *target)
+        got = np.asarray(resize.resize_bicubic(
+            src[None, :, :, None], target))[0, :, :, 0]
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_multi_scale_merge(self):
+        rng = np.random.RandomState(1)
+        s0 = rng.randn(6, 10).astype(np.float32)
+        s1 = rng.randn(4, 8).astype(np.float32)
+        ratios = [1.0, 0.7]
+        target = (48, 80)
+        got = np.asarray(resize.upsample_merge(
+            [s0[None, :, :, None], s1[None, :, :, None]], ratios,
+            target))[0, :, :, 0]
+        w0 = oracle.cubic_resize_oracle(s0, *target)
+        rel = ratios[1] / ratios[0]
+        w1 = oracle.cubic_resize_oracle(
+            s1, *target, scale_h=(target[0] / 6) / rel,
+            scale_w=(target[1] / 10) / rel)
+        np.testing.assert_allclose(got, (w0 + w1) / 2, rtol=1e-4, atol=1e-4)
+
+    def test_fixed_aspect_downscale_pads_zero(self):
+        img = np.full((1, 20, 30, 3), 100.0, np.float32)
+        out = np.asarray(resize.resize_fixed_aspect(img, 0.5, (16, 16)))
+        np.testing.assert_allclose(out[0, :10, :15], 100.0, atol=1e-3)
+        np.testing.assert_allclose(out[0, 12:, :], 0.0, atol=1e-3)
+
+
+class TestPafScores:
+    def test_matches_oracle(self):
+        h, w = 46, 46
+        rng = np.random.RandomState(3)
+        n_parts, max_peaks = 3, 8
+        c = n_parts + 1 + 4  # parts + bkg + 2 pairs of PAF channels
+        heat = rng.uniform(-1, 1, (1, h, w, c)).astype(np.float32)
+        peaks = np.zeros((1, n_parts + 1, max_peaks + 1, 3), np.float32)
+        counts = [3, 2, 4, 0]
+        for part, cnt in enumerate(counts):
+            peaks[0, part, 0, 0] = cnt
+            for k in range(cnt):
+                peaks[0, part, k + 1] = (rng.uniform(1, w - 2),
+                                         rng.uniform(1, h - 2),
+                                         rng.uniform(0.1, 1.0))
+        pairs = np.array([[0, 1], [1, 2]], np.int32)
+        map_idx = np.array([[4, 5], [6, 7]], np.int32)
+        got = np.asarray(paf.paf_scores(
+            heat, peaks, pairs, map_idx, 0.05, 0.5, 0.05))[0]
+        for pi in range(2):
+            pa, pb = pairs[pi]
+            for i in range(max_peaks):
+                for j in range(max_peaks):
+                    if i < counts[pa] and j < counts[pb]:
+                        want = oracle.paf_score_oracle(
+                            peaks[0, pa, i + 1, 0], peaks[0, pa, i + 1, 1],
+                            peaks[0, pb, j + 1, 0], peaks[0, pb, j + 1, 1],
+                            heat[0, :, :, map_idx[pi, 0]],
+                            heat[0, :, :, map_idx[pi, 1]], 0.05, 0.5, 0.05)
+                    else:
+                        want = -1.0
+                    np.testing.assert_allclose(
+                        got[pi, i, j], want, rtol=1e-4, atol=1e-5,
+                        err_msg=f"pair {pi} peaks ({i},{j})")
+
+
+class TestAssembly:
+    def _toy_scene(self):
+        """Two people, 3 parts chained 0-1-2, one spurious peak."""
+        n_parts, max_peaks = 3, 5
+        peaks = np.zeros((n_parts + 1, max_peaks + 1, 3), np.float32)
+        # part 0: two peaks; part 1: two; part 2: two + spurious
+        data = {0: [(10, 10, 0.9), (30, 10, 0.8)],
+                1: [(10, 20, 0.85), (30, 20, 0.75)],
+                2: [(10, 30, 0.7), (30, 30, 0.95), (50, 40, 0.3)]}
+        for part, lst in data.items():
+            peaks[part, 0, 0] = len(lst)
+            for k, xyz in enumerate(lst):
+                peaks[part, k + 1] = xyz
+        pairs = np.array([[0, 1], [1, 2]], np.int32)
+        scores = np.full((2, max_peaks, max_peaks), -1.0, np.float32)
+        scores[0, 0, 0] = 0.9   # p0 person A
+        scores[0, 1, 1] = 0.8   # p0 person B
+        scores[1, 0, 0] = 0.7
+        scores[1, 1, 1] = 0.85
+        return scores, peaks, pairs
+
+    def test_two_people(self):
+        scores, peaks, pairs = self._toy_scene()
+        kp, sc = assembly.connect_body_parts(
+            scores, peaks, pairs, num_parts=3, min_subset_cnt=2,
+            min_subset_score=0.1, scale_factor=2.0)
+        assert kp.shape == (2, 3, 3)
+        # People ordered by creation (highest total first)
+        xs = sorted(kp[:, 0, 0].tolist())
+        assert xs == [20.0, 60.0]  # scaled by 2
+        assert (sc > 0).all()
+
+    def test_merge_people(self):
+        """Disjoint partial people merged by a later cross connection."""
+        n_parts, max_peaks = 4, 3
+        peaks = np.zeros((n_parts, max_peaks + 1, 3), np.float32)
+        for part, (x, y) in enumerate([(5, 5), (5, 15), (5, 25), (5, 35)]):
+            peaks[part, 0, 0] = 1
+            peaks[part, 1] = (x, y, 0.9)
+        pairs = np.array([[0, 1], [2, 3], [1, 2]], np.int32)
+        scores = np.full((3, max_peaks, max_peaks), -1.0, np.float32)
+        scores[0, 0, 0] = 0.9  # creates person 1
+        scores[1, 0, 0] = 0.8  # creates person 2
+        scores[2, 0, 0] = 0.5  # merges them
+        kp, sc = assembly.connect_body_parts(
+            scores, peaks, pairs, num_parts=4, min_subset_cnt=2,
+            min_subset_score=0.1, scale_factor=1.0)
+        assert kp.shape[0] == 1
+        assert (kp[0, :, 2] > 0).all()
+
+    def test_min_subset_filters(self):
+        scores, peaks, pairs = self._toy_scene()
+        kp, _ = assembly.connect_body_parts(
+            scores, peaks, pairs, num_parts=3, min_subset_cnt=3,
+            min_subset_score=10.0, scale_factor=1.0)
+        # Nobody passes even the maximizePositives retry (score threshold huge)
+        assert kp.shape[0] == 0
