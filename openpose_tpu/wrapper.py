@@ -1,0 +1,176 @@
+"""User-facing facade: configure once, process frames (the reference's
+WrapperT / WrapperStruct* API surface, include/openpose/wrapper/wrapper.hpp:36
+and wrapperStruct{Pose,Face,Hand,Input,Output}.hpp), re-imagined as plain
+dataclasses + a Wrapper class with synchronous `process()` and pipelined
+`process_stream()` (see openpose_tpu.runtime.pipeline)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from openpose_tpu.face.detector import detect_faces
+from openpose_tpu.face.extractor import FaceExtractor
+from openpose_tpu.hand.detector import detect_hands, track_hand
+from openpose_tpu.hand.extractor import HandExtractor
+from openpose_tpu.models import zoo
+from openpose_tpu.params import PoseModel
+from openpose_tpu.pose.extractor import PoseExtractor, PosePrediction
+
+
+@dataclasses.dataclass
+class PoseConfig:
+    """~ WrapperStructPose."""
+
+    enable: bool = True
+    model: PoseModel = PoseModel.BODY_25
+    net_resolution: Tuple[int, int] = (-1, 368)   # (w, h); -1 = from aspect
+    scale_number: int = 1
+    scale_gap: float = 0.25
+    maximize_positives: bool = False
+    caffemodel: Optional[str] = None              # converted weights source
+    compute_dtype: str = "bfloat16"
+    number_people_max: int = -1                   # ~ --number_people_max
+    render_threshold: float = 0.05
+
+
+@dataclasses.dataclass
+class FaceConfig:
+    """~ WrapperStructFace."""
+
+    enable: bool = False
+    caffemodel: Optional[str] = None
+    detector_threshold: float = 0.25
+    render_threshold: float = 0.4
+
+
+@dataclasses.dataclass
+class HandConfig:
+    """~ WrapperStructHand."""
+
+    enable: bool = False
+    caffemodel: Optional[str] = None
+    scale_number: int = 1
+    scale_range: float = 0.4
+    tracking: bool = False
+    detector_threshold: float = 0.03
+    render_threshold: float = 0.2
+
+
+@dataclasses.dataclass
+class Datum:
+    """The unit of pipeline data (reference include/openpose/core/datum.hpp:19).
+
+    All keypoints are in input-image pixel coordinates.
+    """
+
+    id: int = 0
+    sub_id: int = 0
+    name: str = ""
+    frame: Optional[np.ndarray] = None
+    pose_keypoints: Optional[np.ndarray] = None       # [P, parts, 3]
+    pose_scores: Optional[np.ndarray] = None          # [P]
+    pose_ids: Optional[np.ndarray] = None             # [P] person ids
+    face_rectangles: Optional[List] = None
+    face_keypoints: Optional[np.ndarray] = None       # [P, 70, 3]
+    hand_rectangles: Optional[List] = None
+    hand_left_keypoints: Optional[np.ndarray] = None  # [P, 21, 3]
+    hand_right_keypoints: Optional[np.ndarray] = None
+    pose_keypoints_3d: Optional[np.ndarray] = None    # [P, parts, 4]
+    face_keypoints_3d: Optional[np.ndarray] = None
+    hand_left_keypoints_3d: Optional[np.ndarray] = None
+    hand_right_keypoints_3d: Optional[np.ndarray] = None
+    heatmaps: Optional[np.ndarray] = None
+    camera_matrix: Optional[np.ndarray] = None        # [3, 4] for 3-D views
+    output_frame: Optional[np.ndarray] = None
+
+
+class Wrapper:
+    """Synchronous single-process wrapper around the extractors."""
+
+    def __init__(self, pose: PoseConfig = PoseConfig(),
+                 face: FaceConfig = FaceConfig(),
+                 hand: HandConfig = HandConfig()):
+        self.pose_cfg = pose
+        self.face_cfg = face
+        self.hand_cfg = hand
+        dtype = jnp.bfloat16 if pose.compute_dtype == "bfloat16" else jnp.float32
+
+        self.pose_extractor: Optional[PoseExtractor] = None
+        if pose.enable:
+            model = zoo.load_pose_model(pose.model, pose.caffemodel)
+            self.pose_extractor = PoseExtractor(
+                model, maximize_positives=pose.maximize_positives,
+                compute_dtype=dtype)
+        self.face_extractor: Optional[FaceExtractor] = None
+        if face.enable:
+            self.face_extractor = FaceExtractor(
+                zoo.load_face_model(face.caffemodel), compute_dtype=dtype)
+        self.hand_extractor: Optional[HandExtractor] = None
+        if hand.enable:
+            self.hand_extractor = HandExtractor(
+                zoo.load_hand_model(hand.caffemodel), compute_dtype=dtype,
+                scale_number=hand.scale_number, scale_range=hand.scale_range)
+        self._prev_hand_rects: List = []
+
+    # ------------------------------------------------------------------ #
+    def process(self, image: np.ndarray, datum_id: int = 0,
+                name: str = "") -> Datum:
+        """Full cascade on one BGR frame."""
+        datum = Datum(id=datum_id, name=name, frame=image)
+        if self.pose_extractor is not None:
+            pred = self.pose_extractor.forward(
+                image, self.pose_cfg.net_resolution,
+                self.pose_cfg.scale_number, self.pose_cfg.scale_gap)
+            kp, sc = pred.keypoints, pred.scores
+            nmax = self.pose_cfg.number_people_max
+            if nmax > 0 and kp.shape[0] > nmax:
+                order = np.argsort(-sc)[:nmax]   # KeepTopNPeople
+                kp, sc = kp[order], sc[order]
+            datum.pose_keypoints, datum.pose_scores = kp, sc
+
+        people_kp = datum.pose_keypoints
+        if people_kp is not None and people_kp.size:
+            if self.face_extractor is not None:
+                datum.face_rectangles = detect_faces(
+                    people_kp, self.pose_cfg.model,
+                    self.face_cfg.detector_threshold)
+                datum.face_keypoints = self.face_extractor.forward(
+                    image.astype(np.float32), datum.face_rectangles)
+            if self.hand_extractor is not None:
+                rects = detect_hands(people_kp, self.pose_cfg.model,
+                                     self.hand_cfg.detector_threshold)
+                if self.hand_cfg.tracking and self._prev_hand_rects:
+                    rects = [
+                        (track_hand(l, [p[0] for p in self._prev_hand_rects]),
+                         track_hand(r, [p[1] for p in self._prev_hand_rects]))
+                        for l, r in rects]
+                datum.hand_rectangles = rects
+                left, right = self.hand_extractor.forward(
+                    image.astype(np.float32), rects)
+                datum.hand_left_keypoints = left
+                datum.hand_right_keypoints = right
+                self._prev_hand_rects = rects
+        return datum
+
+    # ------------------------------------------------------------------ #
+    def render(self, datum: Datum) -> np.ndarray:
+        """Overlay skeletons on a copy of the frame."""
+        from openpose_tpu.render import render as r
+        frame = datum.frame.copy()
+        if datum.pose_keypoints is not None:
+            r.render_pose(frame, datum.pose_keypoints, self.pose_cfg.model,
+                          self.pose_cfg.render_threshold)
+        if datum.face_keypoints is not None:
+            r.render_face(frame, datum.face_keypoints,
+                          self.face_cfg.render_threshold)
+        if (datum.hand_left_keypoints is not None
+                or datum.hand_right_keypoints is not None):
+            r.render_hands(frame, datum.hand_left_keypoints,
+                           datum.hand_right_keypoints,
+                           self.hand_cfg.render_threshold)
+        datum.output_frame = frame
+        return frame
