@@ -35,10 +35,11 @@ def main() -> None:
     def pipeline(params, images):
         x = resize.normalize_vgg(images)
         out = graph.forward(params, model.spec, x, jnp.bfloat16)
-        merged = resize.resize_bicubic(out, (net_h, net_w))
-        peaks = nms.nms(merged[..., :num_parts], 0.05, 127)
-        scores = paf.paf_scores(merged, peaks, pairs, map_idx,
-                                0.05, 0.95, 0.05)
+        merged = resize.resize_bicubic(out[..., :num_parts], (net_h, net_w))
+        peaks = nms.nms(merged, 0.05, 127)
+        scores = paf.paf_scores_multiscale(
+            (out,), (1.0,), (net_h, net_w), peaks, pairs, map_idx,
+            0.05, 0.95, 0.05)
         return peaks, scores
 
     fn = jax.jit(pipeline)

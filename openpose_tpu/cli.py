@@ -1,0 +1,226 @@
+"""Command-line demo: the reference `openpose.bin` flag surface
+(include/openpose/flags.hpp, examples/openpose/openpose.cpp) mapped to the
+TPU-native engine.
+
+Example:
+    python -m openpose_tpu.cli --image_dir /path/imgs --write_json out/ \
+        --model_pose BODY_25 --net_resolution -1x368
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="openpose_tpu",
+        description="TPU-native OpenPose: multi-person 2D/3D keypoints")
+    # Input (flags.hpp producer section)
+    p.add_argument("--image_dir", default="")
+    p.add_argument("--video", default="")
+    p.add_argument("--camera", type=int, default=-1)
+    p.add_argument("--ip_camera", default="")
+    p.add_argument("--frame_first", type=int, default=0)
+    p.add_argument("--frame_step", type=int, default=1)
+    p.add_argument("--frame_last", type=int, default=-1)
+    p.add_argument("--frame_flip", action="store_true")
+    p.add_argument("--frame_rotate", type=int, default=0)
+    p.add_argument("--num_views", type=int, default=1,
+                   help="split horizontally-stacked multi-camera frames")
+    p.add_argument("--camera_parameter_path", default="")
+    p.add_argument("--frame_undistort", action="store_true")
+    # Pose
+    p.add_argument("--body", type=int, default=1)
+    p.add_argument("--model_pose", default="BODY_25",
+                   choices=["BODY_25", "COCO_18", "MPI_15", "MPI_15_4"])
+    p.add_argument("--net_resolution", default="-1x368")
+    p.add_argument("--scale_number", type=int, default=1)
+    p.add_argument("--scale_gap", type=float, default=0.25)
+    p.add_argument("--number_people_max", type=int, default=-1)
+    p.add_argument("--maximize_positives", action="store_true")
+    p.add_argument("--caffemodel_path", default="",
+                   help="original .caffemodel to convert and use")
+    p.add_argument("--fp32", action="store_true",
+                   help="float32 compute (default bfloat16)")
+    # Face / hand
+    p.add_argument("--face", action="store_true")
+    p.add_argument("--face_caffemodel_path", default="")
+    p.add_argument("--hand", action="store_true")
+    p.add_argument("--hand_caffemodel_path", default="")
+    p.add_argument("--hand_scale_number", type=int, default=1)
+    p.add_argument("--hand_scale_range", type=float, default=0.4)
+    # Tracking
+    p.add_argument("--tracking", type=int, default=-1)
+    p.add_argument("--identification", action="store_true")
+    # 3D
+    p.add_argument("--threed", "--3d", dest="threed", action="store_true")
+    p.add_argument("--threed_min_views", "--3d_min_views",
+                   dest="threed_min_views", type=int, default=-1)
+    # Output
+    p.add_argument("--write_json", default="")
+    p.add_argument("--write_images", default="")
+    p.add_argument("--write_video", default="")
+    p.add_argument("--write_video_fps", type=float, default=-1.0)
+    p.add_argument("--write_coco_json", default="")
+    p.add_argument("--write_heatmaps", default="")
+    p.add_argument("--udp_host", default="")
+    p.add_argument("--udp_port", type=int, default=8051)
+    p.add_argument("--render_pose", type=int, default=1)
+    p.add_argument("--render_threshold", type=float, default=0.05)
+    p.add_argument("--display", type=int, default=0,
+                   help="2 = OpenCV window (needs a display); 0 = headless")
+    p.add_argument("--cli_verbose", type=float, default=-1)
+    p.add_argument("--max_frames", type=int, default=-1,
+                   help="stop after N frames (benchmark/debug)")
+    return p
+
+
+def parse_resolution(text: str):
+    w, h = text.lower().split("x")
+    return (int(w), int(h))
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    import jax.numpy as jnp
+    from openpose_tpu.io import json_io, producers, savers
+    from openpose_tpu.params import PoseModel
+    from openpose_tpu.wrapper import (FaceConfig, HandConfig, PoseConfig,
+                                      Wrapper)
+
+    producer = producers.create_producer(
+        image_dir=args.image_dir or None, video=args.video or None,
+        webcam=args.camera if args.camera >= 0 else None,
+        ip_camera=args.ip_camera or None,
+        config=producers.ProducerConfig(
+            frame_first=args.frame_first, frame_step=args.frame_step,
+            frame_last=args.frame_last, frame_flip=args.frame_flip,
+            frame_rotate=args.frame_rotate, num_views=args.num_views,
+            camera_parameter_path=args.camera_parameter_path or None,
+            undistort=args.frame_undistort))
+
+    wrapper = Wrapper(
+        pose=PoseConfig(
+            enable=bool(args.body),
+            model=PoseModel(args.model_pose),
+            net_resolution=parse_resolution(args.net_resolution),
+            scale_number=args.scale_number, scale_gap=args.scale_gap,
+            maximize_positives=args.maximize_positives,
+            caffemodel=args.caffemodel_path or None,
+            compute_dtype="float32" if args.fp32 else "bfloat16",
+            number_people_max=args.number_people_max,
+            render_threshold=args.render_threshold),
+        face=FaceConfig(enable=args.face,
+                        caffemodel=args.face_caffemodel_path or None),
+        hand=HandConfig(enable=args.hand,
+                        caffemodel=args.hand_caffemodel_path or None,
+                        scale_number=args.hand_scale_number,
+                        scale_range=args.hand_scale_range,
+                        tracking=args.tracking > -1))
+
+    id_extractor = None
+    if args.identification:
+        from openpose_tpu.tracking.person_id import PersonIdExtractor
+        id_extractor = PersonIdExtractor()
+
+    json_dir = pathlib.Path(args.write_json) if args.write_json else None
+    if json_dir:
+        json_dir.mkdir(parents=True, exist_ok=True)
+    image_saver = savers.ImageSaver(args.write_images) \
+        if args.write_images else None
+    video_saver = None
+    if args.write_video:
+        fps = args.write_video_fps
+        if fps <= 0:
+            fps = getattr(producer, "fps", 30.0)
+        video_saver = savers.VideoSaver(args.write_video, fps)
+    coco_saver = json_io.CocoJsonSaver() if args.write_coco_json else None
+    heatmap_saver = savers.HeatMapSaver(args.write_heatmaps) \
+        if args.write_heatmaps else None
+    udp = savers.UdpSender(args.udp_host, args.udp_port) \
+        if args.udp_host else None
+
+    cameras = producer.cameras
+    t_start = time.time()
+    n_frames = 0
+    for views in producer.frames():
+        if args.max_frames >= 0 and n_frames >= args.max_frames:
+            break
+        datums = [wrapper.process(f.image, f.frame_id, f.name)
+                  for f in views]
+        datum = datums[0]
+        if id_extractor is not None and datum.pose_keypoints is not None:
+            datum.pose_ids = id_extractor.extract_ids(
+                datum.pose_keypoints, views[0].image)
+        # 3-D triangulation over views
+        if args.threed and len(views) > 1 and cameras:
+            from openpose_tpu.threed.triangulation import reconstruct_array
+            cams = np.stack([c.full_matrix for c in cameras[:len(views)]])
+            sizes = [(f.image.shape[1], f.image.shape[0]) for f in views]
+            kv = [d.pose_keypoints for d in datums]
+            if all(k is not None and k.size for k in kv):
+                datum.pose_keypoints_3d = reconstruct_array(
+                    kv, cams.astype(np.float32), sizes,
+                    args.threed_min_views if args.threed_min_views > 0 else 0)
+
+        name = datum.name or f"{datum.id:012d}"
+        if json_dir is not None:
+            json_io.save_people_json(
+                str(json_dir / f"{name}_keypoints.json"),
+                pose_keypoints=datum.pose_keypoints,
+                face_keypoints=datum.face_keypoints,
+                hand_left_keypoints=datum.hand_left_keypoints,
+                hand_right_keypoints=datum.hand_right_keypoints,
+                pose_keypoints_3d=datum.pose_keypoints_3d,
+                person_ids=datum.pose_ids)
+        if coco_saver is not None and datum.pose_keypoints is not None \
+                and datum.pose_keypoints.size:
+            coco_saver.record(datum.pose_keypoints, datum.pose_scores,
+                              json_io.image_id_from_name(name))
+        if heatmap_saver is not None:
+            pred = wrapper.pose_extractor.forward(
+                views[0].image, wrapper.pose_cfg.net_resolution,
+                wrapper.pose_cfg.scale_number, wrapper.pose_cfg.scale_gap,
+                keep_heatmaps=True)
+            heatmap_saver.save(pred.heatmaps, name)
+        if image_saver or video_saver or args.display:
+            frame = wrapper.render(datum) if args.render_pose \
+                else views[0].image
+            if image_saver:
+                image_saver.save(frame, name)
+            if video_saver:
+                video_saver.write(frame)
+            if args.display:
+                import cv2
+                cv2.imshow("openpose_tpu", frame)
+                if cv2.waitKey(1) & 0xFF in (27, ord("q")):
+                    break
+        if udp is not None:
+            udp.send(json_io.people_json(
+                pose_keypoints=datum.pose_keypoints,
+                person_ids=datum.pose_ids))
+        n_frames += 1
+        if args.cli_verbose > 0 and n_frames % max(int(args.cli_verbose), 1) == 0:
+            print(f"Processed {n_frames} frames "
+                  f"({n_frames / (time.time() - t_start):.2f} fps)")
+
+    if video_saver:
+        video_saver.close()
+    if coco_saver is not None:
+        coco_saver.save(args.write_coco_json)
+    if udp is not None:
+        udp.close()
+    dt = time.time() - t_start
+    print(f"openpose_tpu: {n_frames} frames in {dt:.2f}s "
+          f"({n_frames / max(dt, 1e-9):.2f} fps)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

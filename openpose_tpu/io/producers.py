@@ -1,0 +1,186 @@
+"""Frame producers: video / webcam / IP camera / image directory.
+
+Mirrors the reference producer family (src/openpose/producer/producer.cpp
+factory :411-460, videoReader/webcamReader/ipCameraReader/
+imageDirectoryReader) on top of cv::VideoCapture, with frame_first/step/last
+windowing (DatumProducer, include/openpose/producer/datumProducer.hpp:14-190),
+optional flip/rotate and undistortion, and multi-view frame splitting
+(Matrix::splitCvMatIntoVectorMatrix for horizontally-concatenated stereo
+frames).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+from openpose_tpu.threed.camera import CameraParameters, read_camera_directory
+
+IMAGE_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff")
+
+
+@dataclasses.dataclass
+class Frame:
+    image: np.ndarray
+    frame_id: int
+    sub_id: int = 0
+    sub_id_max: int = 0
+    name: str = ""
+    camera: Optional[CameraParameters] = None
+
+
+@dataclasses.dataclass
+class ProducerConfig:
+    frame_first: int = 0
+    frame_step: int = 1
+    frame_last: int = -1          # -1 = until the end
+    frame_flip: bool = False
+    frame_rotate: int = 0         # 0 / 90 / 180 / 270
+    num_views: int = 1            # split horizontally-concatenated views
+    camera_parameter_path: Optional[str] = None
+    undistort: bool = False
+
+
+class Producer:
+    """Base: applies windowing/flip/rotate/split to a raw frame stream."""
+
+    def __init__(self, config: ProducerConfig = ProducerConfig()):
+        self.config = config
+        self.cameras: List[CameraParameters] = []
+        if config.camera_parameter_path:
+            self.cameras = read_camera_directory(config.camera_parameter_path)
+
+    def _raw_frames(self) -> Iterator[Tuple[np.ndarray, str]]:
+        raise NotImplementedError
+
+    def _transform(self, img: np.ndarray) -> np.ndarray:
+        c = self.config
+        if c.frame_rotate:
+            code = {90: cv2.ROTATE_90_COUNTERCLOCKWISE,
+                    180: cv2.ROTATE_180,
+                    270: cv2.ROTATE_90_CLOCKWISE}[c.frame_rotate]
+            img = cv2.rotate(img, code)
+        if c.frame_flip:
+            img = cv2.flip(img, 1)
+        return img
+
+    def frames(self) -> Iterator[List[Frame]]:
+        """Yields one List[Frame] per time step (len == num_views)."""
+        c = self.config
+        out_id = 0
+        for raw_index, (img, name) in enumerate(self._raw_frames()):
+            if raw_index < c.frame_first:
+                continue
+            if c.frame_last >= 0 and raw_index > c.frame_last:
+                break
+            if (raw_index - c.frame_first) % c.frame_step != 0:
+                continue
+            img = self._transform(img)
+            views = (np.array_split(img, c.num_views, axis=1)
+                     if c.num_views > 1 else [img])
+            frames = []
+            for sub_id, view in enumerate(views):
+                cam = self.cameras[sub_id] if sub_id < len(self.cameras) \
+                    else None
+                if c.undistort and cam is not None:
+                    view = cv2.undistort(view, cam.intrinsics,
+                                         cam.distortion[:8])
+                frames.append(Frame(
+                    image=np.ascontiguousarray(view), frame_id=out_id,
+                    sub_id=sub_id, sub_id_max=c.num_views - 1,
+                    name=name, camera=cam))
+            yield frames
+            out_id += 1
+
+
+class ImageDirectoryReader(Producer):
+    """Sorted image files; carries the stem as output name
+    (src/openpose/producer/imageDirectoryReader.cpp)."""
+
+    def __init__(self, directory: str,
+                 config: ProducerConfig = ProducerConfig()):
+        super().__init__(config)
+        self.paths = sorted(
+            p for p in pathlib.Path(directory).iterdir()
+            if p.suffix.lower() in IMAGE_EXTENSIONS)
+        if not self.paths:
+            raise ValueError(f"no images found in {directory}")
+
+    def _raw_frames(self):
+        for p in self.paths:
+            img = cv2.imread(str(p))
+            if img is None:
+                raise IOError(f"could not read image {p}")
+            yield img, p.stem
+
+
+class VideoReader(Producer):
+    """cv::VideoCapture file wrapper (videoReader.cpp)."""
+
+    def __init__(self, path: str, config: ProducerConfig = ProducerConfig()):
+        super().__init__(config)
+        self.path = path
+        self.capture = cv2.VideoCapture(path)
+        if not self.capture.isOpened():
+            raise IOError(f"could not open video {path}")
+        self.fps = self.capture.get(cv2.CAP_PROP_FPS) or 30.0
+        self.frame_count = int(self.capture.get(cv2.CAP_PROP_FRAME_COUNT))
+
+    def _raw_frames(self):
+        stem = pathlib.Path(self.path).stem
+        index = 0
+        while True:
+            ok, img = self.capture.read()
+            if not ok:
+                break
+            yield img, f"{stem}_{index:012d}"
+            index += 1
+        self.capture.release()
+
+
+class WebcamReader(Producer):
+    """Webcam / V4L index (webcamReader.cpp)."""
+
+    def __init__(self, index: int = 0, resolution: Tuple[int, int] = (-1, -1),
+                 config: ProducerConfig = ProducerConfig()):
+        super().__init__(config)
+        self.capture = cv2.VideoCapture(index)
+        if not self.capture.isOpened():
+            raise IOError(f"could not open webcam {index}")
+        if resolution[0] > 0:
+            self.capture.set(cv2.CAP_PROP_FRAME_WIDTH, resolution[0])
+            self.capture.set(cv2.CAP_PROP_FRAME_HEIGHT, resolution[1])
+
+    def _raw_frames(self):
+        index = 0
+        while True:
+            ok, img = self.capture.read()
+            if not ok:
+                break
+            yield img, f"webcam_{index:012d}"
+            index += 1
+
+
+class IpCameraReader(VideoReader):
+    """RTSP/HTTP stream (ipCameraReader.cpp) — same VideoCapture path."""
+
+
+def create_producer(image_dir: Optional[str] = None,
+                    video: Optional[str] = None,
+                    webcam: Optional[int] = None,
+                    ip_camera: Optional[str] = None,
+                    config: ProducerConfig = ProducerConfig()) -> Producer:
+    """Factory (producer.cpp:411-460)."""
+    if image_dir:
+        return ImageDirectoryReader(image_dir, config)
+    if video:
+        return VideoReader(video, config)
+    if ip_camera:
+        return IpCameraReader(ip_camera, config)
+    if webcam is not None:
+        return WebcamReader(webcam, config=config)
+    raise ValueError("no input source given")

@@ -89,14 +89,19 @@ class PoseExtractor:
                 from openpose_tpu.models import graph as _graph
                 sources.append(_graph.forward(params, model.spec, net_in,
                                               compute_dtype))
-            merged = resize.upsample_merge(
-                sources, list(plan.scale_input_to_net), (target_h, target_w))
-            peaks = nms.nms(merged[..., :num_parts], cp.nms_threshold,
+            # Only the part channels are upsampled/merged (NMS input); PAF
+            # channels are sampled analytically from the low-res sources.
+            merged_parts = resize.upsample_merge(
+                [s[..., :num_parts] for s in sources],
+                list(plan.scale_input_to_net), (target_h, target_w))
+            peaks = nms.nms(merged_parts, cp.nms_threshold,
                             max_peaks, offset=(nms_offset, nms_offset))
-            scores = paf.paf_scores(
-                merged, peaks, pairs, map_idx, cp.inter_threshold,
-                cp.inter_min_above_threshold, cp.nms_threshold)
-            return merged, peaks, scores
+            scores = paf.paf_scores_multiscale(
+                tuple(sources), tuple(plan.scale_input_to_net),
+                (target_h, target_w), peaks, pairs, map_idx,
+                cp.inter_threshold, cp.inter_min_above_threshold,
+                cp.nms_threshold)
+            return merged_parts, peaks, scores
 
         fn = jax.jit(run)
         self._device_fn_cache[key] = fn

@@ -1,0 +1,154 @@
+"""IO tests: producers, savers, JSON formats, COCO eval, async pipeline."""
+
+import json
+
+import numpy as np
+import pytest
+
+from openpose_tpu.io import coco_eval, json_io, savers
+from openpose_tpu.io.producers import (ImageDirectoryReader, ProducerConfig,
+                                       VideoReader, create_producer)
+from openpose_tpu.runtime.pipeline import AsyncPipeline
+
+
+@pytest.fixture
+def image_dir(tmp_path):
+    import cv2
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(5):
+        img = np.full((40, 60, 3), i * 40, np.uint8)
+        cv2.imwrite(str(d / f"frame_{i:03d}.png"), img)
+    return str(d)
+
+
+class TestProducers:
+    def test_image_directory_windowing(self, image_dir):
+        p = ImageDirectoryReader(image_dir, ProducerConfig(
+            frame_first=1, frame_step=2, frame_last=4))
+        frames = list(p.frames())
+        assert len(frames) == 2  # raw 1, 3
+        assert frames[0][0].name == "frame_001"
+        assert frames[1][0].name == "frame_003"
+        assert frames[0][0].frame_id == 0
+
+    def test_multi_view_split(self, image_dir):
+        p = ImageDirectoryReader(image_dir, ProducerConfig(num_views=2))
+        views = next(iter(p.frames()))
+        assert len(views) == 2
+        assert views[0].sub_id == 0 and views[1].sub_id == 1
+        assert views[0].image.shape == (40, 30, 3)
+
+    def test_factory(self, image_dir):
+        p = create_producer(image_dir=image_dir)
+        assert isinstance(p, ImageDirectoryReader)
+        with pytest.raises(ValueError):
+            create_producer()
+
+    def test_video_roundtrip(self, tmp_path, image_dir):
+        import cv2
+        path = str(tmp_path / "test.avi")
+        vs = savers.VideoSaver(path, fps=10)
+        for i in range(4):
+            vs.write(np.full((32, 48, 3), i * 50, np.uint8))
+        vs.close()
+        reader = VideoReader(path)
+        frames = list(reader.frames())
+        assert len(frames) == 4
+        assert frames[0][0].image.shape == (32, 48, 3)
+
+
+class TestSavers:
+    def test_keypoint_saver_json(self, tmp_path):
+        ks = savers.KeypointSaver(str(tmp_path))
+        arr = np.arange(12, dtype=np.float32).reshape(1, 4, 3)
+        path = ks.save([arr], "frame0")
+        data = json.loads(open(path).read())
+        assert data["pose_0"]["sizes"] == [1, 4, 3]
+        assert data["pose_0"]["data"][:3] == [0.0, 1.0, 2.0]
+
+    def test_heatmap_float_roundtrip(self, tmp_path):
+        hs = savers.HeatMapSaver(str(tmp_path))
+        hm = np.random.RandomState(0).randn(6, 8, 3).astype(np.float32)
+        path = hs.save(hm, "f0")
+        back = savers.load_float_heatmaps(path)
+        np.testing.assert_allclose(back, hm)
+
+
+class TestCocoJson:
+    def test_record_order_and_fill(self):
+        saver = json_io.CocoJsonSaver()
+        kp = np.zeros((1, 25, 3), np.float32)
+        kp[0, 0] = (10, 20, 0.9)    # nose
+        kp[0, 16] = (30, 40, 0.8)   # leye -> coco index 1
+        saver.record(kp, np.array([0.7]), image_id=42)
+        e = saver.entries[0]
+        assert e["image_id"] == 42
+        assert e["keypoints"][0:3] == [10.0, 20.0, 1]
+        assert e["keypoints"][3:6] == [30.0, 40.0, 1]
+        assert e["keypoints"][6:9] == [-1.0, -1.0, 0]
+        assert e["score"] == pytest.approx(0.7)
+
+    def test_image_id_from_name(self):
+        assert json_io.image_id_from_name(
+            "COCO_val2014_000000000192") == 192
+
+
+class TestCocoEval:
+    def _gt(self, image_id, xy, area=10000.0):
+        kp = []
+        for x, y in xy:
+            kp += [x, y, 2]
+        return {"image_id": image_id, "keypoints": kp, "area": area,
+                "num_keypoints": len(xy)}
+
+    def _det(self, image_id, xy, score):
+        kp = []
+        for x, y in xy:
+            kp += [x, y, 1]
+        return {"image_id": image_id, "keypoints": kp, "score": score}
+
+    def test_perfect_detection_ap1(self):
+        xy = [(50 + 10 * i, 60 + 5 * i) for i in range(17)]
+        res = coco_eval.evaluate([self._det(1, xy, 0.9)], [self._gt(1, xy)])
+        assert res["AP"] == pytest.approx(1.0)
+        assert res["AR"] == pytest.approx(1.0)
+
+    def test_miss_halves_recall(self):
+        xy = [(50 + 10 * i, 60 + 5 * i) for i in range(17)]
+        far = [(500 + x, 400 + y) for x, y in xy]
+        res = coco_eval.evaluate(
+            [self._det(1, xy, 0.9)],
+            [self._gt(1, xy), self._gt(1, far)])
+        assert res["AR"] == pytest.approx(0.5)
+        assert 0.4 < res["AP"] <= 0.51
+
+    def test_false_positive_lowers_ap(self):
+        xy = [(50 + 10 * i, 60 + 5 * i) for i in range(17)]
+        junk = [(x + 300, y) for x, y in xy]
+        res = coco_eval.evaluate(
+            [self._det(1, xy, 0.5), self._det(1, junk, 0.9)],
+            [self._gt(1, xy)])
+        assert res["AP"] < 1.0
+
+
+class TestAsyncPipeline:
+    def test_order_preserved_and_overlap(self):
+        import time
+        out = []
+        def process(x):
+            time.sleep(0.002)
+            return x * 2
+        pipe = AsyncPipeline(range(50), process, out.append,
+                             in_flight=4)
+        stats = pipe.run()
+        assert out == [x * 2 for x in range(50)]
+        assert stats.frames == 50
+
+    def test_error_propagates(self):
+        def bad_producer():
+            yield 1
+            raise RuntimeError("boom")
+        pipe = AsyncPipeline(bad_producer(), lambda x: x, lambda x: None)
+        with pytest.raises(RuntimeError, match="boom"):
+            pipe.run()

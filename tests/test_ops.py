@@ -1,5 +1,6 @@
 """Kernel-level parity tests: vectorized TPU ops vs scalar reference oracles."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -181,3 +182,34 @@ class TestAssembly:
             min_subset_score=10.0, scale_factor=1.0)
         # Nobody passes even the maximizePositives retry (score threshold huge)
         assert kp.shape[0] == 0
+
+
+class TestPafMultiscale:
+    def test_matches_fullres_backend(self):
+        """Analytic low-res sampling == sampling the materialized upsample."""
+        rng = np.random.RandomState(7)
+        n_parts, max_peaks = 2, 6
+        c = n_parts + 1 + 4
+        hs, ws = 12, 16
+        th, tw = hs * 8, ws * 8
+        sources = [rng.uniform(-1, 1, (1, hs, ws, c)).astype(np.float32),
+                   rng.uniform(-1, 1, (1, 8, 12, c)).astype(np.float32)]
+        ratios = (1.0, 0.71)
+        merged = np.asarray(resize.upsample_merge(
+            [s for s in sources], list(ratios), (th, tw)))
+        peaks = np.zeros((1, n_parts + 1, max_peaks + 1, 3), np.float32)
+        for part, cnt in enumerate([4, 3, 0]):
+            peaks[0, part, 0, 0] = cnt
+            for k in range(cnt):
+                peaks[0, part, k + 1] = (rng.uniform(1, tw - 2),
+                                         rng.uniform(1, th - 2),
+                                         rng.uniform(0.1, 1.0))
+        pairs = np.array([[0, 1], [1, 0]], np.int32)
+        map_idx = np.array([[3, 4], [5, 6]], np.int32)
+        want = np.asarray(paf.paf_scores(
+            merged, peaks, pairs, map_idx, 0.05, 0.5, 0.05))
+        got = np.asarray(paf.paf_scores_multiscale(
+            tuple(jnp.asarray(s) for s in sources), ratios, (th, tw),
+            jnp.asarray(peaks), jnp.asarray(pairs), jnp.asarray(map_idx),
+            0.05, 0.5, 0.05))
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
