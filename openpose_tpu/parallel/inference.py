@@ -1,0 +1,87 @@
+"""Sharded batch inference: data-parallel frame batches over the mesh.
+
+The reference scales inference with one net replica per GPU fed round-robin
+(SURVEY §2.2 strategy 2).  The TPU-native equivalent: ONE jitted program over
+a (data, model) mesh — frames shard over `data`, weights optionally shard
+over `model` — and XLA GSPMD handles placement and collectives.  Multi-host:
+the same program runs under jax.distributed with per-host data feeding
+(each host supplies its local shard of the global batch).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from openpose_tpu.models.zoo import Model
+from openpose_tpu.ops import nms, paf, resize
+from openpose_tpu.parallel import mesh as mesh_lib
+
+
+class ShardedPoseInference:
+    """Batched BODY-model inference sharded over a device mesh."""
+
+    def __init__(self, model: Model, mesh: Optional[Mesh] = None,
+                 net_hw: Tuple[int, int] = (368, 656),
+                 max_peaks: int = 127, nms_threshold: float = 0.05,
+                 inter_threshold: float = 0.05,
+                 inter_min_above_threshold: float = 0.95,
+                 compute_dtype=jnp.bfloat16):
+        self.model = model
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        self.net_hw = net_hw
+        self.max_peaks = max_peaks
+        self.thresholds = (nms_threshold, inter_threshold,
+                           inter_min_above_threshold)
+        self.compute_dtype = compute_dtype
+        info = model.info
+        self._pairs = jnp.asarray(paf.pair_tables(info)[0])
+        self._map_idx = jnp.asarray(paf.pair_tables(info)[1])
+        self._num_parts = info.num_parts
+
+        self.params = jax.device_put(
+            model.params, mesh_lib.param_sharding(self.mesh, model.params))
+        self._fn = self._build()
+
+    def _build(self):
+        net_h, net_w = self.net_hw
+        nms_thr, inter_thr, inter_min = self.thresholds
+        num_parts = self._num_parts
+        pairs, map_idx = self._pairs, self._map_idx
+        spec = self.model.spec
+        dtype = self.compute_dtype
+        max_peaks = self.max_peaks
+
+        def run(params, images):
+            from openpose_tpu.models import graph as _graph
+            x = resize.normalize_vgg(images)
+            out = _graph.forward(params, spec, x, dtype)
+            merged = resize.resize_bicubic(out[..., :num_parts],
+                                           (net_h, net_w))
+            peaks = nms.nms(merged, nms_thr, max_peaks)
+            scores = paf.paf_scores_multiscale(
+                (out,), (1.0,), (net_h, net_w), peaks, pairs, map_idx,
+                inter_thr, inter_min, nms_thr)
+            return peaks, scores
+
+        batch_sh = mesh_lib.batch_sharding(self.mesh)
+        return jax.jit(run, in_shardings=(None, batch_sh),
+                       out_shardings=(batch_sh, batch_sh))
+
+    @property
+    def data_parallelism(self) -> int:
+        return self.mesh.shape["data"]
+
+    def __call__(self, images: jax.Array):
+        """images [B, net_h, net_w, 3] float BGR (B divisible by data axis).
+
+        Returns (peaks [B, parts, K+1, 3], pair_scores [B, P, K, K]).
+        """
+        batch_sh = mesh_lib.batch_sharding(self.mesh)
+        images = jax.device_put(images, batch_sh)
+        return self._fn(self.params, images)
