@@ -1,0 +1,222 @@
+// frame_pump: multi-threaded native frame loader + preprocessor.
+//
+// TPU-native counterpart of the reference's C++ producer + threading runtime
+// (src/openpose/producer/*, include/openpose/thread/threadManager.hpp): a
+// worker pool decodes images (file or in-memory JPEG), applies the
+// aspect-preserving resize + VGG normalization (resizeFixedAspectRatio +
+// uCharCvMatToFloatPtr semantics, src/openpose/utilities/openCvPrivate.cpp:34
+// and openCv.cpp:57), and emits ready-to-upload float32 NHWC net inputs in
+// SUBMISSION ORDER (the WQueueOrderer role) — all outside the Python GIL.
+//
+// C ABI for ctypes:
+//   fp_create(threads, capacity, net_w, net_h) -> handle
+//   fp_submit_file(h, path)            -> seq id (or -1)
+//   fp_submit_bytes(h, data, len)      -> seq id (or -1)
+//   fp_next(h, out_float32, scale_out, wh_out, timeout_ms) -> seq id / -1
+//   fp_pending(h)                      -> #items submitted but not popped
+//   fp_destroy(h)
+//
+// Build: make -C native   (produces libframe_pump.so)
+
+#include <condition_variable>
+#include <cstring>
+#include <deque>
+#include <map>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <opencv2/imgcodecs.hpp>
+#include <opencv2/imgproc.hpp>
+
+namespace {
+
+struct Job {
+    long seq;
+    std::string path;           // or raw bytes
+    std::vector<unsigned char> bytes;
+};
+
+struct Result {
+    std::vector<float> data;    // [net_h, net_w, 3] BGR, x/256 - 0.5
+    double scale;               // input -> net scale factor
+    int src_w, src_h;
+    bool ok;
+};
+
+class FramePump {
+  public:
+    FramePump(int threads, int capacity, int net_w, int net_h)
+        : capacity_(capacity), net_w_(net_w), net_h_(net_h) {
+        for (int i = 0; i < threads; ++i)
+            workers_.emplace_back([this] { workerLoop(); });
+    }
+
+    ~FramePump() {
+        {
+            std::lock_guard<std::mutex> lock(mutex_);
+            stopping_ = true;
+        }
+        cv_jobs_.notify_all();
+        cv_results_.notify_all();
+        cv_space_.notify_all();
+        for (auto& w : workers_) w.join();
+    }
+
+    long submitFile(const char* path) {
+        Job job;
+        job.path = path;
+        return submit(std::move(job));
+    }
+
+    long submitBytes(const unsigned char* data, int len) {
+        Job job;
+        job.bytes.assign(data, data + len);
+        return submit(std::move(job));
+    }
+
+    // Pops the next result in submission order; returns seq or -1 on timeout.
+    long next(float* out, double* scale_out, int* wh_out, int timeout_ms) {
+        std::unique_lock<std::mutex> lock(mutex_);
+        const bool got = cv_results_.wait_for(
+            lock, std::chrono::milliseconds(timeout_ms), [this] {
+                return stopping_ || results_.count(next_pop_) > 0;
+            });
+        if (!got || stopping_ || results_.count(next_pop_) == 0)
+            return -1;
+        Result res = std::move(results_[next_pop_]);
+        results_.erase(next_pop_);
+        const long seq = next_pop_++;
+        in_system_--;
+        lock.unlock();
+        cv_space_.notify_one();
+        if (!res.ok)
+            return -2;
+        std::memcpy(out, res.data.data(), res.data.size() * sizeof(float));
+        if (scale_out) *scale_out = res.scale;
+        if (wh_out) { wh_out[0] = res.src_w; wh_out[1] = res.src_h; }
+        return seq;
+    }
+
+    long pending() {
+        std::lock_guard<std::mutex> lock(mutex_);
+        return in_system_;
+    }
+
+  private:
+    long submit(Job&& job) {
+        std::unique_lock<std::mutex> lock(mutex_);
+        cv_space_.wait(lock, [this] {
+            return stopping_ || in_system_ < capacity_;
+        });
+        if (stopping_)
+            return -1;
+        job.seq = next_seq_++;
+        in_system_++;
+        jobs_.push_back(std::move(job));
+        const long seq = jobs_.back().seq;
+        lock.unlock();
+        cv_jobs_.notify_one();
+        return seq;
+    }
+
+    void workerLoop() {
+        for (;;) {
+            Job job;
+            {
+                std::unique_lock<std::mutex> lock(mutex_);
+                cv_jobs_.wait(lock, [this] {
+                    return stopping_ || !jobs_.empty();
+                });
+                if (stopping_)
+                    return;
+                job = std::move(jobs_.front());
+                jobs_.pop_front();
+            }
+            Result res = process(job);
+            {
+                std::lock_guard<std::mutex> lock(mutex_);
+                results_[job.seq] = std::move(res);
+            }
+            cv_results_.notify_all();
+        }
+    }
+
+    Result process(const Job& job) {
+        Result res;
+        res.ok = false;
+        cv::Mat img = job.bytes.empty()
+            ? cv::imread(job.path, cv::IMREAD_COLOR)
+            : cv::imdecode(job.bytes, cv::IMREAD_COLOR);
+        if (img.empty())
+            return res;
+        res.src_w = img.cols;
+        res.src_h = img.rows;
+        // resizeGetScaleFactor (openCv.cpp:182-189)
+        const double ratio_w = (net_w_ - 1) / (double)(img.cols - 1);
+        const double ratio_h = (net_h_ - 1) / (double)(img.rows - 1);
+        const double scale = std::min(ratio_w, ratio_h);
+        res.scale = scale;
+        // resizeFixedAspectRatio (openCvPrivate.cpp:34-53)
+        cv::Mat m = cv::Mat::eye(2, 3, CV_64F);
+        m.at<double>(0, 0) = scale;
+        m.at<double>(1, 1) = scale;
+        cv::Mat resized;
+        cv::warpAffine(img, resized, m, cv::Size(net_w_, net_h_),
+                       (scale > 1. ? cv::INTER_CUBIC : cv::INTER_AREA),
+                       cv::BORDER_CONSTANT, cv::Scalar(0, 0, 0));
+        // HWC uint8 -> HWC float, x/256 - 0.5 (NHWC stays TPU-native)
+        res.data.resize((size_t)net_h_ * net_w_ * 3);
+        const unsigned char* src = resized.data;
+        float* dst = res.data.data();
+        const size_t n = res.data.size();
+        for (size_t i = 0; i < n; ++i)
+            dst[i] = src[i] * (1.f / 256.f) - 0.5f;
+        res.ok = true;
+        return res;
+    }
+
+    const int capacity_, net_w_, net_h_;
+    std::vector<std::thread> workers_;
+    std::deque<Job> jobs_;
+    std::map<long, Result> results_;
+    std::mutex mutex_;
+    std::condition_variable cv_jobs_, cv_results_, cv_space_;
+    long next_seq_ = 0;
+    long next_pop_ = 0;
+    long in_system_ = 0;
+    bool stopping_ = false;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* fp_create(int threads, int capacity, int net_w, int net_h) {
+    return new FramePump(threads, capacity, net_w, net_h);
+}
+
+long fp_submit_file(void* handle, const char* path) {
+    return static_cast<FramePump*>(handle)->submitFile(path);
+}
+
+long fp_submit_bytes(void* handle, const unsigned char* data, int len) {
+    return static_cast<FramePump*>(handle)->submitBytes(data, len);
+}
+
+long fp_next(void* handle, float* out, double* scale_out, int* wh_out,
+             int timeout_ms) {
+    return static_cast<FramePump*>(handle)->next(out, scale_out, wh_out,
+                                                 timeout_ms);
+}
+
+long fp_pending(void* handle) {
+    return static_cast<FramePump*>(handle)->pending();
+}
+
+void fp_destroy(void* handle) {
+    delete static_cast<FramePump*>(handle);
+}
+
+}  // extern "C"

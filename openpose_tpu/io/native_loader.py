@@ -1,0 +1,93 @@
+"""ctypes binding for the native frame pump (native/frame_pump.cpp).
+
+A GIL-free worker pool that decodes + preprocesses frames into float32 NHWC
+net inputs in submission order (the reference's producer + WQueueOrderer
+roles in C++).  Falls back cleanly: `available()` is False when the shared
+library has not been built (`make -C native`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import pathlib
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB_PATH = (pathlib.Path(__file__).resolve().parents[2]
+             / "native" / "libframe_pump.so")
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is None:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.fp_create.restype = ctypes.c_void_p
+        lib.fp_create.argtypes = [ctypes.c_int] * 4
+        lib.fp_submit_file.restype = ctypes.c_long
+        lib.fp_submit_file.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        lib.fp_submit_bytes.restype = ctypes.c_long
+        lib.fp_submit_bytes.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                        ctypes.c_int]
+        lib.fp_next.restype = ctypes.c_long
+        lib.fp_next.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int]
+        lib.fp_pending.restype = ctypes.c_long
+        lib.fp_pending.argtypes = [ctypes.c_void_p]
+        lib.fp_destroy.argtypes = [ctypes.c_void_p]
+        _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _LIB_PATH.exists()
+
+
+class NativeFramePump:
+    """Ordered multi-threaded decode + preprocess to net-input tensors."""
+
+    def __init__(self, net_w: int, net_h: int, threads: int = 4,
+                 capacity: int = 32):
+        self._lib = _load()
+        self._handle = self._lib.fp_create(threads, capacity, net_w, net_h)
+        self.net_w = net_w
+        self.net_h = net_h
+
+    def submit_file(self, path: str) -> int:
+        return self._lib.fp_submit_file(self._handle, path.encode())
+
+    def submit_bytes(self, data: bytes) -> int:
+        return self._lib.fp_submit_bytes(self._handle, data, len(data))
+
+    def next(self, timeout_ms: int = 10000
+             ) -> Optional[Tuple[int, np.ndarray, float, Tuple[int, int]]]:
+        """-> (seq, net_input [net_h, net_w, 3] f32 normalized, scale,
+        (src_w, src_h)) or None on timeout; raises on decode failure."""
+        out = np.empty((self.net_h, self.net_w, 3), np.float32)
+        scale = ctypes.c_double()
+        wh = (ctypes.c_int * 2)()
+        seq = self._lib.fp_next(
+            self._handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.byref(scale), wh, timeout_ms)
+        if seq == -1:
+            return None
+        if seq == -2:
+            raise IOError("native frame pump: decode failed")
+        return int(seq), out, float(scale.value), (wh[0], wh[1])
+
+    def pending(self) -> int:
+        return int(self._lib.fp_pending(self._handle))
+
+    def close(self) -> None:
+        if self._handle:
+            self._lib.fp_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
