@@ -33,7 +33,7 @@ Output: [N, P, max_peaks, max_peaks] float32.
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -157,13 +157,23 @@ def _tap_matrix(coord: jax.Array, in_size: int, scale: float) -> jax.Array:
     return jnp.sum(jnp.where(onehots, ws[..., None], 0.0), axis=-2)
 
 
-@functools.partial(jax.jit, static_argnames=("target_hw", "scale_ratios"))
+def _use_pallas_default() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("target_hw", "scale_ratios",
+                                    "use_pallas"))
 def paf_scores_multiscale(
         sources: Sequence[jax.Array], scale_ratios: Tuple[float, ...],
         target_hw: Tuple[int, int], peaks: jax.Array, pairs: jax.Array,
         map_idx: jax.Array, inter_threshold: jax.Array,
         inter_min_above_threshold: jax.Array,
-        default_nms_threshold: jax.Array) -> jax.Array:
+        default_nms_threshold: jax.Array,
+        use_pallas: Optional[bool] = None) -> jax.Array:
     """TPU-native backend: evaluate the merged upsampled PAF analytically.
 
     sources: per-scale low-res net outputs [N, h_s, w_s, C]; the sampled
@@ -171,6 +181,8 @@ def paf_scores_multiscale(
     ops.resize.upsample_merge would produce at that pixel — bit-identical to
     the full-res backend (up to f32 summation order), with zero gathers.
     """
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
     th, tw = target_hw
     geo = _line_geometry(peaks, pairs, (th, tw))
     n, p = geo["mx"].shape[:2]
@@ -186,29 +198,39 @@ def paf_scores_multiscale(
         scale_h = (th / h0) / rel
         scale_w = (tw / w0) / rel
         hs, ws = src.shape[1], src.shape[2]
-        # Low-res PAF maps for this scale: [P, N, hs, ws] x/y components
-        chans = src.astype(jnp.float32).transpose(3, 0, 1, 2)
-        low_x = chans[map_idx[:, 0]]
-        low_y = chans[map_idx[:, 1]]
+        # Low-res PAF maps for this scale: [N, P, 2, hs, ws]
+        chans = src.astype(jnp.float32).transpose(0, 3, 1, 2)
+        low_xy = jnp.stack([chans[:, map_idx[:, 0]],
+                            chans[:, map_idx[:, 1]]], axis=2)
 
-        def per_pair(args, scale_h=scale_h, scale_w=scale_w, hs=hs, ws=ws):
-            # Blocked over pairs: the [S, taps] weight matrices for one pair
-            # stay ~50 MB instead of P x that.
-            lx, ly, my_p, mx_p = args                 # [N,hs,ws], [N,S]
-            wrow = _tap_matrix(my_p, hs, scale_h)     # [N, S, hs]
-            wcol = _tap_matrix(mx_p, ws, scale_w)     # [N, S, ws]
-            tx = jnp.einsum("nsh,nhw->nsw", wrow, lx,
-                            preferred_element_type=jnp.float32)
-            ty = jnp.einsum("nsh,nhw->nsw", wrow, ly,
-                            preferred_element_type=jnp.float32)
-            return (jnp.sum(tx * wcol, axis=-1),      # [N, S]
-                    jnp.sum(ty * wcol, axis=-1))
+        if use_pallas:
+            from openpose_tpu.ops.paf_pallas import sample_bicubic_pallas
+            vx, vy = jax.vmap(
+                lambda lo, m, x: sample_bicubic_pallas(
+                    lo, m, x, scale_h, scale_w))(low_xy, my, mx)
+        else:
+            def per_pair(args, scale_h=scale_h, scale_w=scale_w,
+                         hs=hs, ws=ws):
+                # Blocked over pairs: the [S, taps] weight matrices for one
+                # pair stay ~50 MB instead of P x that.
+                lxy, my_p, mx_p = args                # [N,2,hs,ws], [N,S]
+                wrow = _tap_matrix(my_p, hs, scale_h)  # [N, S, hs]
+                wcol = _tap_matrix(mx_p, ws, scale_w)  # [N, S, ws]
+                tx = jnp.einsum("nsh,nhw->nsw", wrow, lxy[:, 0],
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+                ty = jnp.einsum("nsh,nhw->nsw", wrow, lxy[:, 1],
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+                return (jnp.sum(tx * wcol, axis=-1),   # [N, S]
+                        jnp.sum(ty * wcol, axis=-1))
 
-        vx, vy = jax.lax.map(
-            per_pair, (low_x, low_y, my.transpose(1, 0, 2),
-                       mx.transpose(1, 0, 2)))        # [P, N, S]
-        vx = vx.transpose(1, 0, 2)
-        vy = vy.transpose(1, 0, 2)
+            vx, vy = jax.lax.map(
+                per_pair, (low_xy.transpose(1, 0, 2, 3, 4),
+                           my.transpose(1, 0, 2),
+                           mx.transpose(1, 0, 2)))     # [P, N, S]
+            vx = vx.transpose(1, 0, 2)
+            vy = vy.transpose(1, 0, 2)
         acc_x = vx if acc_x is None else acc_x + vx
         acc_y = vy if acc_y is None else acc_y + vy
     inv = 1.0 / len(sources)

@@ -55,19 +55,27 @@ def _tap_weights_block(coord: jax.Array, in_size: int, scale: float):
 def _make_kernel(n_pairs: int, hs: int, ws: int,
                  scale_h: float, scale_w: float):
     def kernel(low_ref, my_ref, mx_ref, vx_ref, vy_ref):
-        # Block = all pairs x BLOCK_SAMPLES; static loop over pairs keeps
-        # each matmul MXU-shaped ([BS, hs] @ [hs, ws]).
-        for p in range(n_pairs):
+        # Block = all pairs x BLOCK_SAMPLES; fori_loop over pairs (dynamic
+        # leading-dim indexing) keeps compile time flat while each matmul
+        # stays MXU-shaped ([BS, hs] @ [hs, ws]).
+        def body(p, _):
             my = my_ref[p, :]                   # [BS]
             mx = mx_ref[p, :]
             wrow = _tap_weights_block(my, hs, scale_h)    # [BS, hs]
             wcol = _tap_weights_block(mx, ws, scale_w)    # [BS, ws]
             low_x = low_ref[p, 0]               # [hs, ws]
             low_y = low_ref[p, 1]
-            tx = jnp.dot(wrow, low_x, preferred_element_type=jnp.float32)
-            ty = jnp.dot(wrow, low_y, preferred_element_type=jnp.float32)
+            # HIGHEST: full-f32 matmul (default TPU f32 dot is bf16-pass
+            # approximate; scores feed threshold comparisons downstream)
+            tx = jnp.dot(wrow, low_x, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+            ty = jnp.dot(wrow, low_y, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
             vx_ref[p, :] = jnp.sum(tx * wcol, axis=-1)
             vy_ref[p, :] = jnp.sum(ty * wcol, axis=-1)
+            return 0
+
+        jax.lax.fori_loop(0, n_pairs, body, 0)
     return kernel
 
 

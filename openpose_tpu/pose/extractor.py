@@ -108,6 +108,15 @@ class PoseExtractor:
         return fn
 
     # ------------------------------------------------------------------ #
+    def assemble(self, peaks_np: np.ndarray, scores_np: np.ndarray,
+                 scale_net_to_output: float):
+        """Host tail for one frame (device outputs -> people)."""
+        return assembly.connect_body_parts(
+            scores_np, peaks_np, self.pairs, self.info.num_parts,
+            self.connect.min_subset_cnt, self.connect.min_subset_score,
+            scale_net_to_output, self.maximize_positives)
+
+    # ------------------------------------------------------------------ #
     def forward(self, image: np.ndarray,
                 net_resolution: Tuple[int, int] = (-1, 368),
                 scale_number: int = 1, scale_gap: float = 0.25,
@@ -136,10 +145,8 @@ class PoseExtractor:
 
         peaks_np = np.asarray(peaks_dev)[0]
         scores_np = np.asarray(scores_dev)[0]
-        keypoints, person_scores = assembly.connect_body_parts(
-            scores_np, peaks_np, self.pairs, self.info.num_parts,
-            self.connect.min_subset_cnt, self.connect.min_subset_score,
-            scale_net_to_output, self.maximize_positives)
+        keypoints, person_scores = self.assemble(peaks_np, scores_np,
+                                                 scale_net_to_output)
         return PosePrediction(
             keypoints=keypoints, scores=person_scores,
             heatmaps=np.asarray(merged)[0] if keep_heatmaps else None,

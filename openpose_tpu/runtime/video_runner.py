@@ -1,0 +1,143 @@
+"""Production throughput path: native decode -> batched device -> host tail.
+
+Combines the pieces into the serving pipeline the reference builds with its
+thread/queue graph (SURVEY §3.1), TPU-style:
+
+  NativeFramePump (C++ worker pool, ordered)  ->  fixed-size frame batches
+  ->  ShardedPoseInference (one jitted program, data-parallel mesh)
+  ->  thread-pool greedy assembly  ->  in-order consumer callback
+
+Device dispatch is async: batch k+1 is decoded and submitted while batch k
+executes and batch k-1 is assembled on the host pool.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import dataclasses
+from typing import Callable, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from openpose_tpu.parallel.inference import ShardedPoseInference
+from openpose_tpu.pose import scaler
+from openpose_tpu.pose.extractor import PoseExtractor
+
+
+@dataclasses.dataclass
+class FrameResult:
+    index: int
+    keypoints: np.ndarray
+    scores: np.ndarray
+    source_wh: Tuple[int, int]
+
+
+class VideoRunner:
+    def __init__(self, inference: ShardedPoseInference,
+                 extractor: PoseExtractor,
+                 batch_size: int = 8, decode_threads: int = 4,
+                 assembly_workers: int = 4):
+        self.inference = inference
+        self.extractor = extractor
+        self.batch_size = batch_size
+        self.decode_threads = decode_threads
+        self.assembly_workers = assembly_workers
+
+    def run_files(self, paths: List[str],
+                  on_result: Optional[Callable[[FrameResult], None]] = None
+                  ) -> List[FrameResult]:
+        from openpose_tpu.io.native_loader import NativeFramePump, available
+        if not available():
+            raise RuntimeError("native frame pump not built (make -C native)")
+        net_h, net_w = self.inference.net_hw
+        pump = NativeFramePump(net_w, net_h, threads=self.decode_threads,
+                               capacity=self.batch_size * 4)
+        results: List[FrameResult] = []
+        pool = concurrent.futures.ThreadPoolExecutor(self.assembly_workers)
+        try:
+            submitted = 0
+            popped = 0
+            pending_batches = []   # (start_idx, device_out, metas)
+            assembly_futures = []
+
+            def flush_batch(batch, metas, start_idx):
+                import jax.numpy as jnp
+                # NativeFramePump already normalized; inference normalizes
+                # again, so undo: x_net = (x + 0.5) * 256
+                images = (np.stack(batch) + 0.5) * 256.0
+                out = self.inference(jnp.asarray(images))
+                pending_batches.append((start_idx, out, list(metas)))
+
+            def resolve_batch():
+                start_idx, (peaks_dev, scores_dev), metas = \
+                    pending_batches.pop(0)
+                peaks = np.asarray(peaks_dev)
+                scores = np.asarray(scores_dev)
+                futs = []
+                for bi, (scale, src_wh) in enumerate(metas):
+                    s_n2o = 1.0 / scale if scale > 0 else 1.0
+                    futs.append(pool.submit(
+                        self._assemble_one, start_idx + bi, peaks[bi],
+                        scores[bi], s_n2o, src_wh))
+                assembly_futures.extend(futs)
+
+            batch: List[np.ndarray] = []
+            metas: List[Tuple[float, Tuple[int, int]]] = []
+            start_idx = 0
+            for path in paths:
+                pump.submit_file(path)
+                submitted += 1
+                while pump.pending() > 0 and (submitted - popped) >= \
+                        self.decode_threads:
+                    item = pump.next(timeout_ms=50)
+                    if item is None:
+                        break
+                    _, net_in, scale, src_wh = item
+                    popped += 1
+                    batch.append(net_in)
+                    metas.append((scale, src_wh))
+                    if len(batch) == self.batch_size:
+                        flush_batch(batch, metas, start_idx)
+                        start_idx += len(batch)
+                        batch, metas = [], []
+                        if len(pending_batches) > 1:
+                            resolve_batch()
+            while popped < submitted:
+                item = pump.next()
+                if item is None:
+                    raise IOError("decode timeout")
+                _, net_in, scale, src_wh = item
+                popped += 1
+                batch.append(net_in)
+                metas.append((scale, src_wh))
+                if len(batch) == self.batch_size:
+                    flush_batch(batch, metas, start_idx)
+                    start_idx += len(batch)
+                    batch, metas = [], []
+            if batch:
+                # pad the tail batch to the static batch size
+                pad = self.batch_size - len(batch)
+                real = len(batch)
+                batch += [batch[-1]] * pad
+                metas += [metas[-1]] * pad
+                flush_batch(batch, metas, start_idx)
+                start_idx += real
+            while pending_batches:
+                resolve_batch()
+            for fut in assembly_futures:
+                res = fut.result()
+                if res.index < len(paths):
+                    results.append(res)
+                    if on_result is not None:
+                        on_result(res)
+        finally:
+            pool.shutdown(wait=True)
+            pump.close()
+        results.sort(key=lambda r: r.index)
+        return results
+
+    def _assemble_one(self, index, peaks, scores, scale_net_to_output,
+                      src_wh) -> FrameResult:
+        keypoints, person_scores = self.extractor.assemble(
+            peaks, scores, scale_net_to_output)
+        return FrameResult(index, keypoints, person_scores, src_wh)

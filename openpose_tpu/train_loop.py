@@ -1,0 +1,162 @@
+"""Training driver: COCO-keypoint data -> sharded train steps -> checkpoints.
+
+Completes the training story around openpose_tpu.train (the CPM/PAF
+objective): a data pipeline turning COCO person-keypoint annotations into
+(image, keypoint) batches, a sharded step over the (data, model) mesh, and
+periodic .npz checkpoints.  The reference ships no trainer (openpose_train
+is a separate Caffe repo); this gives the TPU framework a first-class one.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+import time
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from openpose_tpu.params import PoseModel, POSE_MODEL_INFO
+
+# COCO 17 -> model part index (BODY_25/COCO_18 share the mapping below for
+# the COCO-subset joints; neck is synthesized as the shoulder midpoint, the
+# standard CPM training recipe).
+_COCO17_TO_BODY25 = {
+    0: 0, 1: 16, 2: 15, 3: 18, 4: 17, 5: 5, 6: 2, 7: 6, 8: 3, 9: 7, 10: 4,
+    11: 12, 12: 9, 13: 13, 14: 10, 15: 14, 16: 11}
+
+
+def coco_to_model_keypoints(coco_kp: np.ndarray, model: PoseModel,
+                            max_people: int) -> np.ndarray:
+    """coco_kp [people, 17, 3] -> [max_people, parts, 3] model layout."""
+    info = POSE_MODEL_INFO[model]
+    out = np.zeros((max_people, info.num_parts, 3), np.float32)
+    n = min(coco_kp.shape[0], max_people)
+    for person in range(n):
+        kp = coco_kp[person]
+        for ci, mi in _COCO17_TO_BODY25.items():
+            if mi < info.num_parts and kp[ci, 2] > 0:
+                out[person, mi] = (kp[ci, 0], kp[ci, 1], 1.0)
+        # neck = shoulder midpoint (parts 2 and 5)
+        if info.num_parts > 1 and kp[5, 2] > 0 and kp[6, 2] > 0:
+            out[person, 1] = ((kp[5, 0] + kp[6, 0]) / 2,
+                              (kp[5, 1] + kp[6, 1]) / 2, 1.0)
+        # midhip for BODY_25 (part 8) from hips 11/12
+        if info.num_parts >= 25 and kp[11, 2] > 0 and kp[12, 2] > 0:
+            out[person, 8] = ((kp[11, 0] + kp[12, 0]) / 2,
+                              (kp[11, 1] + kp[12, 1]) / 2, 1.0)
+    return out
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    model: PoseModel = PoseModel.BODY_25
+    image_size: Tuple[int, int] = (368, 368)   # (h, w)
+    batch_size: int = 8
+    max_people: int = 8
+    learning_rate: float = 1e-4
+    steps: int = 1000
+    checkpoint_every: int = 500
+    checkpoint_dir: str = "checkpoints"
+    model_parallel: int = 1
+
+
+def coco_data_iterator(images_dir: str, annotations_json: str,
+                       config: TrainConfig, seed: int = 0
+                       ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Yield (images [B,H,W,3] f32 normalized-ready BGR, keypoints
+    [B,people,parts,3] in resized-image coords)."""
+    import cv2
+    with open(annotations_json) as f:
+        coco = json.load(f)
+    by_image: Dict[int, List[dict]] = {}
+    for ann in coco["annotations"]:
+        if ann.get("num_keypoints", 0) > 0:
+            by_image.setdefault(ann["image_id"], []).append(ann)
+    id_to_file = {img["id"]: img["file_name"] for img in coco["images"]}
+    image_ids = [i for i in by_image if i in id_to_file]
+    rng = np.random.RandomState(seed)
+    h, w = config.image_size
+    while True:
+        batch_imgs = np.zeros((config.batch_size, h, w, 3), np.float32)
+        batch_kps = np.zeros(
+            (config.batch_size, config.max_people,
+             POSE_MODEL_INFO[config.model].num_parts, 3), np.float32)
+        for b in range(config.batch_size):
+            image_id = image_ids[rng.randint(len(image_ids))]
+            img = cv2.imread(str(pathlib.Path(images_dir)
+                                 / id_to_file[image_id]))
+            if img is None:
+                continue
+            sy, sx = h / img.shape[0], w / img.shape[1]
+            batch_imgs[b] = cv2.resize(img, (w, h)).astype(np.float32)
+            kp17 = np.stack([
+                np.asarray(a["keypoints"], np.float32).reshape(17, 3)
+                for a in by_image[image_id]])
+            kp = coco_to_model_keypoints(kp17, config.model,
+                                         config.max_people)
+            kp[..., 0] *= sx
+            kp[..., 1] *= sy
+            batch_kps[b] = kp
+        yield batch_imgs, batch_kps
+
+
+def train(config: TrainConfig, data: Iterator, verbose: bool = True):
+    """Run the training loop on the available devices; returns final state."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from openpose_tpu import train as train_mod
+    from openpose_tpu.models import checkpoint, graph
+    from openpose_tpu.ops import paf as paf_ops
+    from openpose_tpu.ops.resize import normalize_vgg
+    from openpose_tpu.parallel import mesh as mesh_lib
+
+    info = POSE_MODEL_INFO[config.model]
+    spec = graph.load_spec(info.spec)
+    optimizer = optax.adam(config.learning_rate)
+    state = train_mod.init_train_state(spec, optimizer,
+                                       jax.random.PRNGKey(0))
+    mesh = mesh_lib.make_mesh(model=config.model_parallel)
+    p_shard = mesh_lib.param_sharding(mesh, state.params)
+    state = train_mod.TrainState(
+        jax.device_put(state.params, p_shard),
+        jax.device_put(state.opt_state, jax.tree.map(
+            lambda _: mesh_lib.replicated(mesh), state.opt_state,
+            is_leaf=lambda x: hasattr(x, "shape"))),
+        jax.device_put(state.step, mesh_lib.replicated(mesh)))
+
+    pairs = jnp.asarray(paf_ops.pair_tables(info)[0])
+    map_idx = jnp.asarray(paf_ops.pair_tables(info)[1])
+    h, w = config.image_size
+    base_step = train_mod.make_train_step(spec, optimizer)
+
+    def full_step(state, images, keypoints):
+        targets = train_mod.make_targets(
+            keypoints, pairs, map_idx, (h, w), info.num_parts,
+            info.heatmap_channels)
+        return base_step(state, normalize_vgg(images), targets)
+
+    batch_sh = mesh_lib.batch_sharding(mesh)
+    step_fn = jax.jit(full_step, donate_argnums=(0,),
+                      in_shardings=(None, batch_sh, batch_sh))
+
+    ckpt_dir = pathlib.Path(config.checkpoint_dir)
+    t0 = time.time()
+    with mesh:
+        for step in range(config.steps):
+            images, keypoints = next(data)
+            state, loss = step_fn(state, jnp.asarray(images),
+                                  jnp.asarray(keypoints))
+            if verbose and (step % 50 == 0 or step == config.steps - 1):
+                print(f"step {step}: loss {float(loss):.6f} "
+                      f"({(step + 1) * config.batch_size / (time.time() - t0):.1f} img/s)")
+            if (step + 1) % config.checkpoint_every == 0 \
+                    or step == config.steps - 1:
+                path = ckpt_dir / f"{info.name}_step{step + 1}.npz"
+                checkpoint.save(str(path), jax.device_get(state.params))
+                if verbose:
+                    print(f"saved {path}")
+    return state
