@@ -8,9 +8,12 @@ intermediates in HBM (~13 GB/frame of traffic at K=127); here they live and
 die in VMEM, so HBM traffic collapses to coords in + samples out (~170 MB),
 leaving pure MXU work.
 
-Grid: (pairs, sample blocks).  Per step: compute Catmull-Rom tap weights for
-the block (VPU), one [BS, hs] @ [hs, ws] matmul per component (MXU), row-wise
-weighted reduce.  See /opt/skills/guides/pallas_guide.md patterns.
+Layout: samples ride the LANE dimension throughout — tap weights are built
+transposed ([taps, BS]) straight from a broadcasted iota, the map is
+pre-transposed ([ws, hs]) by the caller, and both matmuls are
+lane-major: T = LOW^T @ WrowT -> [ws, BS]; V = sum_ws(T * WcolT) -> [BS].
+Grid = (pairs, sample blocks); singleton-wrapped coord blocks satisfy the
+(8, 128) tiling rule.  See /opt/skills/guides/pallas_guide.md.
 """
 
 from __future__ import annotations
@@ -23,11 +26,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_SAMPLES = 1024
+BLOCK_SAMPLES = 2048
 
 
-def _tap_weights_block(coord: jax.Array, in_size: int, scale: float):
-    """coord [BS] int32 -> dense Catmull-Rom weights [BS, in_size] f32.
+def _tap_weights_t(coord: jax.Array, in_size: int, scale: float):
+    """coord [BS] int32 -> transposed Catmull-Rom weights [in_size, BS] f32.
 
     Same math as ops/paf.py `_tap_matrix` (cubicSequentialData +
     cubicInterpolate, include/openpose_private/gpu/cuda.hu:92-121).
@@ -45,37 +48,29 @@ def _tap_weights_block(coord: jax.Array, in_size: int, scale: float):
     t0i = jnp.maximum(0, t1i - 1)
     t2i = jnp.minimum(in_size - 1, t1i + 1)
     t3i = jnp.minimum(in_size - 1, t2i + 1)
-    grid = jax.lax.broadcasted_iota(jnp.int32, (bs, in_size), 1)
-    acc = jnp.zeros((bs, in_size), jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (in_size, bs), 0)
+    acc = jnp.zeros((in_size, bs), jnp.float32)
     for ti, wi in ((t0i, w0), (t1i, w1), (t2i, w2), (t3i, w3)):
-        acc = acc + jnp.where(grid == ti[:, None], wi[:, None], 0.0)
+        acc = acc + jnp.where(rows == ti[None, :], wi[None, :], 0.0)
     return acc
 
 
-def _make_kernel(n_pairs: int, hs: int, ws: int,
-                 scale_h: float, scale_w: float):
-    def kernel(low_ref, my_ref, mx_ref, vx_ref, vy_ref):
-        # Block = all pairs x BLOCK_SAMPLES; fori_loop over pairs (dynamic
-        # leading-dim indexing) keeps compile time flat while each matmul
-        # stays MXU-shaped ([BS, hs] @ [hs, ws]).
-        def body(p, _):
-            my = my_ref[p, :]                   # [BS]
-            mx = mx_ref[p, :]
-            wrow = _tap_weights_block(my, hs, scale_h)    # [BS, hs]
-            wcol = _tap_weights_block(mx, ws, scale_w)    # [BS, ws]
-            low_x = low_ref[p, 0]               # [hs, ws]
-            low_y = low_ref[p, 1]
-            # HIGHEST: full-f32 matmul (default TPU f32 dot is bf16-pass
-            # approximate; scores feed threshold comparisons downstream)
-            tx = jnp.dot(wrow, low_x, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
-            ty = jnp.dot(wrow, low_y, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
-            vx_ref[p, :] = jnp.sum(tx * wcol, axis=-1)
-            vy_ref[p, :] = jnp.sum(ty * wcol, axis=-1)
-            return 0
-
-        jax.lax.fori_loop(0, n_pairs, body, 0)
+def _make_kernel(hs: int, ws: int, scale_h: float, scale_w: float):
+    def kernel(low_t_ref, my_ref, mx_ref, vx_ref, vy_ref):
+        my = my_ref[0, 0, 0, :]                       # [BS]
+        mx = mx_ref[0, 0, 0, :]
+        wrow_t = _tap_weights_t(my, hs, scale_h)      # [hs, BS]
+        wcol_t = _tap_weights_t(mx, ws, scale_w)      # [ws, BS]
+        low_x_t = low_t_ref[0, 0]                     # [ws, hs]
+        low_y_t = low_t_ref[0, 1]
+        # HIGHEST: full-f32 matmul (default TPU f32 dot is bf16-pass
+        # approximate; the scores feed threshold comparisons downstream)
+        tx = jnp.dot(low_x_t, wrow_t, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)   # [ws, BS]
+        ty = jnp.dot(low_y_t, wrow_t, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        vx_ref[0, 0, 0, :] = jnp.sum(tx * wcol_t, axis=0)
+        vy_ref[0, 0, 0, :] = jnp.sum(ty * wcol_t, axis=0)
     return kernel
 
 
@@ -96,35 +91,31 @@ def sample_bicubic_pallas(low_xy: jax.Array, my: jax.Array, mx: jax.Array,
     if s_pad != s:
         my = jnp.pad(my, ((0, 0), (0, s_pad - s)))
         mx = jnp.pad(mx, ((0, 0), (0, s_pad - s)))
+    sb = s_pad // BLOCK_SAMPLES
+    my4 = my.reshape(p, sb, 1, BLOCK_SAMPLES)
+    mx4 = mx.reshape(p, sb, 1, BLOCK_SAMPLES)
+    low_t = low_xy.transpose(0, 1, 3, 2)              # [P, 2, ws, hs]
 
-    grid = (s_pad // BLOCK_SAMPLES,)
-    kernel = _make_kernel(p, hs, ws, scale_h, scale_w)
-    # Block layout note: blocks must keep the last two dims either divisible
-    # by (8, 128) or equal to the full array dims — hence full-pairs blocks
-    # (p, BLOCK_SAMPLES) and the in-kernel static pair loop.
+    kernel = _make_kernel(hs, ws, scale_h, scale_w)
+    coord_spec = pl.BlockSpec((1, 1, 1, BLOCK_SAMPLES),
+                              lambda i, j: (i, j, 0, 0),
+                              memory_space=pltpu.VMEM)
     vx, vy = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(p, sb),
         in_specs=[
-            pl.BlockSpec((p, 2, hs, ws), lambda j: (0, 0, 0, 0),
+            pl.BlockSpec((1, 2, ws, hs), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((p, BLOCK_SAMPLES), lambda j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((p, BLOCK_SAMPLES), lambda j: (0, j),
-                         memory_space=pltpu.VMEM),
+            coord_spec, coord_spec,
         ],
-        out_specs=[
-            pl.BlockSpec((p, BLOCK_SAMPLES), lambda j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((p, BLOCK_SAMPLES), lambda j: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[jax.ShapeDtypeStruct((p, s_pad), jnp.float32),
-                   jax.ShapeDtypeStruct((p, s_pad), jnp.float32)],
+        out_specs=[coord_spec, coord_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((p, sb, 1, BLOCK_SAMPLES), jnp.float32),
+            jax.ShapeDtypeStruct((p, sb, 1, BLOCK_SAMPLES), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=int(2 * p * s_pad * hs * (ws + 1) * 2),
             bytes_accessed=int(p * s_pad * 4 * 4 + p * 2 * hs * ws * 4),
             transcendentals=0),
         interpret=interpret,
-    )(low_xy, my, mx)
-    return vx[:, :s], vy[:, :s]
+    )(low_t, my4, mx4)
+    return (vx.reshape(p, s_pad)[:, :s], vy.reshape(p, s_pad)[:, :s])

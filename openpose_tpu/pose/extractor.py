@@ -40,7 +40,8 @@ class PosePrediction:
 
     keypoints: np.ndarray          # [people, parts, 3] (x, y, score)
     scores: np.ndarray             # [people]
-    heatmaps: Optional[np.ndarray] = None   # [H, W, C] merged (optional)
+    heatmaps: Optional[np.ndarray] = None   # [h, w, C] merged low-res, all
+    #                                         channels (parts + bkg + PAFs)
     peaks: Optional[np.ndarray] = None      # [parts, K+1, 3] net-output px
     scale_net_to_output: float = 1.0
     net_output_size: Tuple[int, int] = (0, 0)   # (w, h)
@@ -101,7 +102,12 @@ class PoseExtractor:
                 (target_h, target_w), peaks, pairs, map_idx,
                 cp.inter_threshold, cp.inter_min_above_threshold,
                 cp.nms_threshold)
-            return merged_parts, peaks, scores
+            # Low-res merged full tensor (parts+bkg+PAFs) for heatmap export:
+            # average the low-res sources on the scale-0 grid (cheap).
+            full_low = resize.upsample_merge(
+                sources, list(plan.scale_input_to_net),
+                (sources[0].shape[1], sources[0].shape[2]))
+            return merged_parts, peaks, scores, full_low
 
         fn = jax.jit(run)
         self._device_fn_cache[key] = fn
@@ -141,7 +147,7 @@ class PoseExtractor:
 
         fn = self._device_fn((in_h, in_w), plan, nms_offset)
         img = jnp.asarray(np.ascontiguousarray(image, np.float32)[None])
-        merged, peaks_dev, scores_dev = fn(self.model.params, img)
+        merged, peaks_dev, scores_dev, full_low = fn(self.model.params, img)
 
         peaks_np = np.asarray(peaks_dev)[0]
         scores_np = np.asarray(scores_dev)[0]
@@ -149,7 +155,7 @@ class PoseExtractor:
                                                  scale_net_to_output)
         return PosePrediction(
             keypoints=keypoints, scores=person_scores,
-            heatmaps=np.asarray(merged)[0] if keep_heatmaps else None,
+            heatmaps=np.asarray(full_low)[0] if keep_heatmaps else None,
             peaks=peaks_np,
             scale_net_to_output=scale_net_to_output,
             net_output_size=(net_out_w, net_out_h))
