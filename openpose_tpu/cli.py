@@ -73,6 +73,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--udp_port", type=int, default=8051)
     p.add_argument("--render_pose", type=int, default=1)
     p.add_argument("--render_threshold", type=float, default=0.05)
+    p.add_argument("--part_to_show", type=int, default=0,
+                   help="0=skeletons, 1..#parts=that part heatmap, "
+                        "-1=all-part heatmap, -2=PAF field")
+    p.add_argument("--show_info", action="store_true",
+                   help="burn FPS/frame/people info into output frames")
+    p.add_argument("--write_video_3d", default="",
+                   help="render triangulated skeletons to a 3D video")
     p.add_argument("--display", type=int, default=0,
                    help="2 = OpenCV window (needs a display); 0 = headless")
     p.add_argument("--cli_verbose", type=float, default=-1)
@@ -141,6 +148,8 @@ def main(argv=None) -> int:
             fps = getattr(producer, "fps", 30.0)
         video_saver = savers.VideoSaver(args.write_video, fps)
     coco_saver = json_io.CocoJsonSaver() if args.write_coco_json else None
+    video3d_saver = savers.VideoSaver(args.write_video_3d, 15.0) \
+        if args.write_video_3d else None
     heatmap_saver = savers.HeatMapSaver(args.write_heatmaps) \
         if args.write_heatmaps else None
     udp = savers.UdpSender(args.udp_host, args.udp_port) \
@@ -189,9 +198,38 @@ def main(argv=None) -> int:
                 wrapper.pose_cfg.scale_number, wrapper.pose_cfg.scale_gap,
                 keep_heatmaps=True)
             heatmap_saver.save(pred.heatmaps, name)
+        if video3d_saver is not None and datum.pose_keypoints_3d is not None:
+            from openpose_tpu.render.gui3d import render_skeleton_3d
+            img3d = render_skeleton_3d(datum.pose_keypoints_3d,
+                                       wrapper.pose_cfg.model)
+            video3d_saver.write(img3d[..., ::-1])  # RGB -> BGR
         if image_saver or video_saver or args.display:
-            frame = wrapper.render(datum) if args.render_pose \
-                else views[0].image
+            if args.part_to_show != 0:
+                from openpose_tpu.render import heatmaps as hm_render
+                pred = wrapper.pose_extractor.forward(
+                    views[0].image, wrapper.pose_cfg.net_resolution,
+                    wrapper.pose_cfg.scale_number,
+                    wrapper.pose_cfg.scale_gap, keep_heatmaps=True)
+                if args.part_to_show == -2:
+                    frame = hm_render.overlay_paf(
+                        views[0].image.copy(), pred.heatmaps,
+                        wrapper.pose_cfg.model)
+                else:
+                    part = (args.part_to_show - 1
+                            if args.part_to_show > 0 else -1)
+                    frame = hm_render.overlay_heatmap(
+                        views[0].image.copy(), pred.heatmaps, part)
+            elif args.render_pose:
+                frame = wrapper.render(datum)
+            else:
+                frame = views[0].image
+            if args.show_info:
+                from openpose_tpu.render.heatmaps import add_info_overlay
+                n_people = (0 if datum.pose_keypoints is None
+                            else datum.pose_keypoints.shape[0])
+                fps_now = n_frames / max(time.time() - t_start, 1e-9)
+                add_info_overlay(frame, fps=fps_now, frame_id=datum.id,
+                                 n_people=n_people)
             if image_saver:
                 image_saver.save(frame, name)
             if video_saver:
@@ -212,6 +250,8 @@ def main(argv=None) -> int:
 
     if video_saver:
         video_saver.close()
+    if video3d_saver is not None:
+        video3d_saver.close()
     if coco_saver is not None:
         coco_saver.save(args.write_coco_json)
     if udp is not None:
