@@ -61,16 +61,15 @@ def _make_kernel(hs: int, ws: int, scale_h: float, scale_w: float):
         mx = mx_ref[0, 0, 0, :]
         wrow_t = _tap_weights_t(my, hs, scale_h)      # [hs, BS]
         wcol_t = _tap_weights_t(mx, ws, scale_w)      # [ws, BS]
-        low_x_t = low_t_ref[0, 0]                     # [ws, hs]
-        low_y_t = low_t_ref[0, 1]
-        # HIGHEST: full-f32 matmul (default TPU f32 dot is bf16-pass
-        # approximate; the scores feed threshold comparisons downstream)
-        tx = jnp.dot(low_x_t, wrow_t, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)   # [ws, BS]
-        ty = jnp.dot(low_y_t, wrow_t, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
-        vx_ref[0, 0, 0, :] = jnp.sum(tx * wcol_t, axis=0)
-        vy_ref[0, 0, 0, :] = jnp.sum(ty * wcol_t, axis=0)
+        low_2t = low_t_ref[0, 0]                      # [2*ws, hs] x then y
+        # ONE stacked matmul for both components; HIGHEST precision — the
+        # default TPU f32 dot is a single approximate bf16 pass and the
+        # scores feed threshold comparisons downstream (Mosaic only lowers
+        # DEFAULT/HIGHEST, not HIGH).
+        txy = jnp.dot(low_2t, wrow_t, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)  # [2*ws, BS]
+        vx_ref[0, 0, 0, :] = jnp.sum(txy[:ws] * wcol_t, axis=0)
+        vy_ref[0, 0, 0, :] = jnp.sum(txy[ws:] * wcol_t, axis=0)
     return kernel
 
 
@@ -94,7 +93,8 @@ def sample_bicubic_pallas(low_xy: jax.Array, my: jax.Array, mx: jax.Array,
     sb = s_pad // BLOCK_SAMPLES
     my4 = my.reshape(p, sb, 1, BLOCK_SAMPLES)
     mx4 = mx.reshape(p, sb, 1, BLOCK_SAMPLES)
-    low_t = low_xy.transpose(0, 1, 3, 2)              # [P, 2, ws, hs]
+    # [P, 1, 2*ws, hs]: x map rows then y map rows, both transposed
+    low_t = low_xy.transpose(0, 1, 3, 2).reshape(p, 1, 2 * ws, hs)
 
     kernel = _make_kernel(hs, ws, scale_h, scale_w)
     coord_spec = pl.BlockSpec((1, 1, 1, BLOCK_SAMPLES),
@@ -104,7 +104,7 @@ def sample_bicubic_pallas(low_xy: jax.Array, my: jax.Array, mx: jax.Array,
         kernel,
         grid=(p, sb),
         in_specs=[
-            pl.BlockSpec((1, 2, ws, hs), lambda i, j: (i, 0, 0, 0),
+            pl.BlockSpec((1, 1, 2 * ws, hs), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             coord_spec, coord_spec,
         ],
