@@ -92,12 +92,29 @@ def nms(heatmaps: jax.Array, threshold: jax.Array, max_peaks: int = 127,
     x_ref = sx_sum / denom + offset[0]
     y_ref = sy_sum / denom + offset[1]
 
-    # Compaction: first `max_peaks` peaks in row-major order per (n, c)
+    # Compaction: first `max_peaks` peaks in row-major order per (n, c).
+    # Two-stage exact selection: a direct top_k over H*W elements is slow on
+    # TPU (O(k * n) partial-sort passes); instead reduce to candidate blocks
+    # first.  The first `max_peaks` peaks lie within the first <= max_peaks
+    # 128-pixel blocks that contain any peak, so selecting those blocks by
+    # their first-peak index (a cheap min-reduce) and running top_k on the
+    # gathered candidates is exact and ~15x less work.
     flat_idx = (ys * w + xs).astype(jnp.int32)          # [1,H,W,1]
     big = jnp.int32(h * w)
     masked = jnp.where(is_peak, flat_idx, big)          # [N,H,W,C]
     masked = masked.transpose(0, 3, 1, 2).reshape(n, c, h * w)
-    neg_topk, _ = jax.lax.top_k(-masked, max_peaks)     # ascending row-major idx
+    bs = 128
+    nb = -(-h * w // bs)
+    padded = jnp.pad(masked, ((0, 0), (0, 0), (0, nb * bs - h * w)),
+                     constant_values=big)
+    blocks = padded.reshape(n, c, nb, bs)
+    block_first = blocks.min(axis=-1)                   # [N,C,NB]
+    k_blocks = min(max_peaks, nb)
+    neg_blk, blk_id = jax.lax.top_k(-block_first, k_blocks)
+    # blk_id ordered by ascending first-peak index; empty blocks sort last
+    cand = jnp.take_along_axis(blocks, blk_id[..., None], axis=2)
+    cand = cand.reshape(n, c, k_blocks * bs)
+    neg_topk, _ = jax.lax.top_k(-cand, max_peaks)       # ascending row-major idx
     peak_idx = -neg_topk                                # [N,C,max_peaks]
     valid = peak_idx < big
     count = valid.sum(axis=-1).astype(jnp.float32)      # [N,C]

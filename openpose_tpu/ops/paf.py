@@ -166,23 +166,66 @@ def _use_pallas_default() -> bool:
 
 @functools.partial(jax.jit,
                    static_argnames=("target_hw", "scale_ratios",
-                                    "use_pallas"))
+                                    "use_pallas", "fast_peaks", "precision"))
 def paf_scores_multiscale(
         sources: Sequence[jax.Array], scale_ratios: Tuple[float, ...],
         target_hw: Tuple[int, int], peaks: jax.Array, pairs: jax.Array,
         map_idx: jax.Array, inter_threshold: jax.Array,
         inter_min_above_threshold: jax.Array,
         default_nms_threshold: jax.Array,
-        use_pallas: Optional[bool] = None) -> jax.Array:
+        use_pallas: Optional[bool] = None,
+        fast_peaks: int = 32,
+        precision=None) -> jax.Array:
     """TPU-native backend: evaluate the merged upsampled PAF analytically.
 
     sources: per-scale low-res net outputs [N, h_s, w_s, C]; the sampled
     value equals the mean over scales of the Catmull-Rom interpolation that
     ops.resize.upsample_merge would produce at that pixel — bit-identical to
     the full-res backend (up to f32 summation order), with zero gathers.
+
+    Tiered peak count: candidate-pair work grows as max_peaks^2, but real
+    frames rarely have >32 peaks per part (the reference GPU kernel pays
+    nothing for empty candidates because its threads early-exit,
+    src/openpose/net/bodyPartConnectorBase.cu:30-33; static TPU shapes do).
+    When every part's count <= `fast_peaks` the score matrix outside the
+    leading [fast_peaks, fast_peaks] block is -1 by construction (invalid
+    combinations), so scoring only that block and padding is exact; a
+    `lax.cond` falls back to the full computation for crowded frames.
+    Set fast_peaks=0 to disable the tier.
     """
     if use_pallas is None:
         use_pallas = _use_pallas_default()
+    max_peaks = peaks.shape[2] - 1
+    if 0 < fast_peaks < max_peaks:
+        counts = peaks[:, :, 0, 0]
+        pad = max_peaks - fast_peaks
+
+        def fast_fn(pk):
+            s = _multiscale_impl(
+                sources, scale_ratios, target_hw, pk[:, :, :fast_peaks + 1],
+                pairs, map_idx, inter_threshold, inter_min_above_threshold,
+                default_nms_threshold, use_pallas, precision)
+            return jnp.pad(s, ((0, 0), (0, 0), (0, pad), (0, pad)),
+                           constant_values=-1.0)
+
+        def slow_fn(pk):
+            return _multiscale_impl(
+                sources, scale_ratios, target_hw, pk, pairs, map_idx,
+                inter_threshold, inter_min_above_threshold,
+                default_nms_threshold, use_pallas, precision)
+
+        return jax.lax.cond(jnp.max(counts) <= fast_peaks,
+                            fast_fn, slow_fn, peaks)
+    return _multiscale_impl(
+        sources, scale_ratios, target_hw, peaks, pairs, map_idx,
+        inter_threshold, inter_min_above_threshold, default_nms_threshold,
+        use_pallas, precision)
+
+
+def _multiscale_impl(
+        sources, scale_ratios, target_hw, peaks, pairs, map_idx,
+        inter_threshold, inter_min_above_threshold, default_nms_threshold,
+        use_pallas, precision=None) -> jax.Array:
     th, tw = target_hw
     geo = _line_geometry(peaks, pairs, (th, tw))
     n, p = geo["mx"].shape[:2]
@@ -207,7 +250,8 @@ def paf_scores_multiscale(
             from openpose_tpu.ops.paf_pallas import sample_bicubic_pallas
             vx, vy = jax.vmap(
                 lambda lo, m, x: sample_bicubic_pallas(
-                    lo, m, x, scale_h, scale_w))(low_xy, my, mx)
+                    lo, m, x, scale_h, scale_w,
+                    precision=precision))(low_xy, my, mx)
         else:
             def per_pair(args, scale_h=scale_h, scale_w=scale_w,
                          hs=hs, ws=ws):

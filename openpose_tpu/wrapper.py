@@ -115,6 +115,13 @@ class Wrapper:
                 zoo.load_hand_model(hand.caffemodel), compute_dtype=dtype,
                 scale_number=hand.scale_number, scale_range=hand.scale_range)
         self._prev_hand_rects: List = []
+        # Body-free face detection falls back to the Haar cascade, like the
+        # reference (FaceDetectorOpenCV when !poseEnabled,
+        # include/openpose/wrapper/wrapperAuxiliary.hpp face-detector choice).
+        self._haar_detector = None
+        if face.enable and not pose.enable:
+            from openpose_tpu.face.haar import FaceDetectorOpenCV
+            self._haar_detector = FaceDetectorOpenCV()
 
     # ------------------------------------------------------------------ #
     def process(self, image: np.ndarray, datum_id: int = 0,
@@ -131,6 +138,13 @@ class Wrapper:
                 order = np.argsort(-sc)[:nmax]   # KeepTopNPeople
                 kp, sc = kp[order], sc[order]
             datum.pose_keypoints, datum.pose_scores = kp, sc
+
+        if self._haar_detector is not None and self.face_extractor is not None:
+            rects = [tuple(r) for r in self._haar_detector.detect_faces(image)]
+            datum.face_rectangles = rects
+            if rects:
+                datum.face_keypoints = self.face_extractor.forward(
+                    image.astype(np.float32), rects)
 
         people_kp = datum.pose_keypoints
         if people_kp is not None and people_kp.size:

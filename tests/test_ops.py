@@ -184,6 +184,61 @@ class TestAssembly:
         assert kp.shape[0] == 0
 
 
+class TestPafPallasKernel:
+    def test_interpret_matches_tap_matrix(self):
+        """Pallas sampling kernel (interpret mode) == XLA tap-matrix path."""
+        import jax
+        from openpose_tpu.ops.paf_pallas import sample_bicubic_pallas
+        rng = np.random.RandomState(11)
+        p, hs, ws = 3, 12, 16
+        scale_h = scale_w = 8.0
+        th, tw = hs * 8, ws * 8
+        low = rng.uniform(-1, 1, (p, 2, hs, ws)).astype(np.float32)
+        s = 700
+        my = rng.randint(0, th, (p, s)).astype(np.int32)
+        mx = rng.randint(0, tw, (p, s)).astype(np.int32)
+        vx, vy = sample_bicubic_pallas(
+            jnp.asarray(low), jnp.asarray(my), jnp.asarray(mx),
+            scale_h, scale_w, interpret=True,
+            precision=jax.lax.Precision.HIGHEST)
+        wrow = np.asarray(paf._tap_matrix(jnp.asarray(my), hs, scale_h))
+        wcol = np.asarray(paf._tap_matrix(jnp.asarray(mx), ws, scale_w))
+        want_x = np.einsum("psh,phw,psw->ps", wrow, low[:, 0], wcol)
+        want_y = np.einsum("psh,phw,psw->ps", wrow, low[:, 1], wcol)
+        np.testing.assert_allclose(np.asarray(vx), want_x, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(vy), want_y, rtol=1e-4, atol=1e-5)
+
+
+class TestPafFastTier:
+    def _scene(self, counts, max_peaks):
+        rng = np.random.RandomState(13)
+        n_parts = len(counts) - 1
+        c = n_parts + 1 + 4
+        hs, ws = 10, 14
+        th, tw = hs * 8, ws * 8
+        src = rng.uniform(-1, 1, (1, hs, ws, c)).astype(np.float32)
+        peaks = np.zeros((1, n_parts + 1, max_peaks + 1, 3), np.float32)
+        for part, cnt in enumerate(counts):
+            peaks[0, part, 0, 0] = cnt
+            for k in range(cnt):
+                peaks[0, part, k + 1] = (rng.uniform(1, tw - 2),
+                                         rng.uniform(1, th - 2),
+                                         rng.uniform(0.1, 1.0))
+        pairs = np.array([[0, 1], [1, 2]], np.int32)
+        map_idx = np.array([[4, 5], [6, 7]], np.int32)
+        return src, peaks, pairs, map_idx, (th, tw)
+
+    @pytest.mark.parametrize("counts", [[3, 2, 4, 0],      # fast branch
+                                        [6, 2, 4, 0]])     # slow branch
+    def test_tiered_equals_untied(self, counts):
+        src, peaks, pairs, map_idx, hw = self._scene(counts, max_peaks=12)
+        args = ((jnp.asarray(src),), (1.0,), hw, jnp.asarray(peaks),
+                jnp.asarray(pairs), jnp.asarray(map_idx), 0.05, 0.5, 0.05)
+        want = np.asarray(paf.paf_scores_multiscale(*args, fast_peaks=0))
+        got = np.asarray(paf.paf_scores_multiscale(*args, fast_peaks=4))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 class TestPafMultiscale:
     def test_matches_fullres_backend(self):
         """Analytic low-res sampling == sampling the materialized upsample."""
