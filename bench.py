@@ -5,16 +5,28 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/s/chip", "vs_baseline": N}
 
 Baseline: ~22 FPS BODY_25 @368x656 on a GTX 1080 Ti incl. display
-(BASELINE.md, arXiv:1812.08008).  The measured pipeline here is the full
-device side: VGG+CPM forward (bf16) -> 8x resize-merge -> NMS -> PAF scoring.
-Host assembly is overlapped in production (it is ~1ms/frame on a few hundred
-connections) and excluded from the device-throughput metric, matching how the
-reference reports GPU FPS (display excluded in their speed tests).
+(BASELINE.md, arXiv:1812.08008).
+
+Timing methodology: the remote-execution tunnel makes naive per-call timing
+meaningless (dispatch is async, block_until_ready can return before remote
+compute finishes, and a host readback costs a ~0.5 s RPC round trip), so
+every measured graph chains N data-dependent iterations inside one jit and
+reports the t(N_hi)-t(N_lo) delta — see openpose_tpu/utils/benchmark.py.
+
+Workload realism: no caffemodel is bundled, and random-weight heatmaps are
+NMS noise (saturated 127-peak counts) that a trained model never produces.
+The headline therefore times (a) the real CNN forward on images and (b) the
+post-processing pipeline (8x resize-merge -> NMS -> PAF scoring) on synthetic
+8-person net outputs rendered by train.make_targets, and sums them — the
+injection point mirrors the reference's Datum::poseNetOutput hook
+(include/openpose/core/datum.hpp:212-217).  A worst-case variant with
+saturated peak counts is reported to stderr alongside.  Host greedy assembly
+(~1 ms on a few hundred connections) overlaps device compute in the async
+pipeline and is excluded, matching how the reference reports GPU FPS.
 """
 
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -22,59 +34,82 @@ import numpy as np
 def main() -> None:
     import jax
     import jax.numpy as jnp
+    from openpose_tpu import train
     from openpose_tpu.models import graph, zoo
     from openpose_tpu.ops import nms, paf, resize
-    from openpose_tpu.params import PoseModel
+    from openpose_tpu.params import POSE_MAX_PEOPLE, PoseModel
+    from openpose_tpu.utils.benchmark import chain_ms
 
     model = zoo.load_pose_model(PoseModel.BODY_25)
-    pairs = jnp.asarray(paf.pair_tables(model.info)[0])
-    map_idx = jnp.asarray(paf.pair_tables(model.info)[1])
-    num_parts = model.info.num_parts
+    info = model.info
+    pairs_np, map_idx_np = paf.pair_tables(info)
+    pairs = jnp.asarray(pairs_np)
+    map_idx = jnp.asarray(map_idx_np)
+    num_parts = info.num_parts
     net_h, net_w = 368, 656
+    batch = 8
 
-    def pipeline(params, images):
-        x = resize.normalize_vgg(images)
-        out = graph.forward(params, model.spec, x, jnp.bfloat16)
-        merged = resize.resize_bicubic(out[..., :num_parts], (net_h, net_w))
-        peaks = nms.nms(merged, 0.05, 127)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(
+        rng.uniform(0, 255, (batch, net_h, net_w, 3)).astype(np.float32))
+
+    # Synthetic 8-person net output (realistic sparsity for post-processing)
+    people = 8
+    kp = np.zeros((batch, people, num_parts, 3), np.float32)
+    for b in range(batch):
+        for p in range(people):
+            cx = rng.uniform(60, net_w - 60)
+            cy = rng.uniform(80, net_h - 80)
+            kp[b, p, :, 0] = cx + rng.uniform(-40, 40, num_parts)
+            kp[b, p, :, 1] = cy + rng.uniform(-70, 70, num_parts)
+            kp[b, p, :, 2] = 1.0
+    synth = train.make_targets(
+        jnp.asarray(kp), pairs, map_idx, (net_h, net_w), num_parts,
+        info.heatmap_channels)
+    synth = jax.block_until_ready(synth)
+
+    def step_net(c):
+        img = images + c * 1e-12
+        out = graph.forward(model.params, model.spec,
+                            resize.normalize_vgg(img), jnp.bfloat16)
+        return c + out[0, 0, 0, 0] * 1e-12
+
+    def _post(src, fast_peaks):
+        merged = resize.resize_bicubic(src[..., :num_parts], (net_h, net_w))
+        peaks = nms.nms(merged, 0.05, POSE_MAX_PEOPLE)
         scores = paf.paf_scores_multiscale(
-            (out,), (1.0,), (net_h, net_w), peaks, pairs, map_idx,
-            0.05, 0.95, 0.05)
+            (src,), (1.0,), (net_h, net_w), peaks, pairs, map_idx,
+            0.05, 0.95, 0.05, fast_peaks=fast_peaks)
         return peaks, scores
 
-    fn = jax.jit(pipeline)
-    rng = np.random.RandomState(0)
+    def step_post(c):
+        peaks, scores = _post(synth + c * 1e-12, fast_peaks=32)
+        return c + peaks[0, 0, 0, 0] * 1e-12 + scores[0, 0, 0, 0] * 1e-12
 
-    best_fps = 0.0
-    best_batch = 1
-    for batch in (1, 4, 8):
-        images = jnp.asarray(
-            rng.uniform(0, 255, (batch, net_h, net_w, 3)).astype(np.float32))
-        try:
-            peaks, scores = fn(model.params, images)
-            jax.block_until_ready((peaks, scores))
-        except Exception as e:  # OOM at large batch etc.
-            print(f"batch {batch} failed: {e}", file=sys.stderr)
-            break
-        # Warmup second call, then measure
-        jax.block_until_ready(fn(model.params, images))
-        iters = max(2, int(8 // batch))
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(model.params, images)
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
-        fps = batch * iters / dt
-        print(f"batch={batch}: {fps:.2f} frames/s", file=sys.stderr)
-        if fps > best_fps:
-            best_fps, best_batch = fps, batch
+    def step_post_worst(c):
+        peaks, scores = _post(synth + c * 1e-12, fast_peaks=0)
+        return c + peaks[0, 0, 0, 0] * 1e-12 + scores[0, 0, 0, 0] * 1e-12
 
-    baseline_fps = 22.0
+    net_ms = chain_ms(step_net)
+    post_ms = chain_ms(step_post)
+    worst_ms = chain_ms(step_post_worst, n_lo=2, n_hi=8)
+
+    frame_ms = (net_ms + post_ms) / batch
+    worst_frame_ms = (net_ms + worst_ms) / batch
+    fps = 1000.0 / frame_ms
+    print(f"batch={batch}: net {net_ms / batch:.2f} ms/frame, "
+          f"post {post_ms / batch:.2f} ms/frame -> {fps:.1f} frames/s",
+          file=sys.stderr)
+    print(f"worst-case (127 peaks/part): post {worst_ms / batch:.2f} "
+          f"ms/frame -> {1000.0 / worst_frame_ms:.1f} frames/s",
+          file=sys.stderr)
+
+    baseline = 22.0
     print(json.dumps({
-        "metric": f"BODY_25 368x656 device pipeline frames/s/chip (batch {best_batch})",
-        "value": round(best_fps, 2),
+        "metric": "BODY_25 368x656 device pipeline frames/s/chip (batch 8)",
+        "value": round(fps, 2),
         "unit": "frames/s/chip",
-        "vs_baseline": round(best_fps / baseline_fps, 3),
+        "vs_baseline": round(fps / baseline, 3),
     }))
 
 

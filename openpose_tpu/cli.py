@@ -63,6 +63,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--threed_min_views", "--3d_min_views",
                    dest="threed_min_views", type=int, default=-1)
     # Output
+    p.add_argument("--keypoint_scale", type=int, default=0,
+                   help="0=input res, 1=net output res, 2=output res, "
+                        "3=[0,1], 4=[-1,1] (flags.hpp keypoint_scale)")
+    p.add_argument("--write_keypoint", default="",
+                   help="directory for OpenCV-FileStorage keypoint files")
+    p.add_argument("--write_keypoint_format", default="json",
+                   choices=["json", "xml", "yml"])
+    p.add_argument("--fps_max", type=float, default=-1.0,
+                   help="cap processing rate (WFpsMax equivalent)")
     p.add_argument("--write_json", default="")
     p.add_argument("--write_images", default="")
     p.add_argument("--write_video", default="")
@@ -122,7 +131,8 @@ def main(argv=None) -> int:
             caffemodel=args.caffemodel_path or None,
             compute_dtype="float32" if args.fp32 else "bfloat16",
             number_people_max=args.number_people_max,
-            render_threshold=args.render_threshold),
+            render_threshold=args.render_threshold,
+            tracking=args.tracking),
         face=FaceConfig(enable=args.face,
                         caffemodel=args.face_caffemodel_path or None),
         hand=HandConfig(enable=args.hand,
@@ -139,6 +149,17 @@ def main(argv=None) -> int:
     json_dir = pathlib.Path(args.write_json) if args.write_json else None
     if json_dir:
         json_dir.mkdir(parents=True, exist_ok=True)
+    keypoint_saver = None
+    if args.write_keypoint:
+        keypoint_saver = savers.KeypointSaver(args.write_keypoint,
+                                              args.write_keypoint_format)
+    scale_mode = None
+    if args.keypoint_scale != 0:
+        from openpose_tpu.pose.scaler import ScaleMode
+        scale_mode = [ScaleMode.InputResolution,
+                      ScaleMode.NetOutputResolution,
+                      ScaleMode.OutputResolution, ScaleMode.ZeroToOne,
+                      ScaleMode.PlusMinusOne][args.keypoint_scale]
     image_saver = savers.ImageSaver(args.write_images) \
         if args.write_images else None
     video_saver = None
@@ -179,10 +200,22 @@ def main(argv=None) -> int:
                     args.threed_min_views if args.threed_min_views > 0 else 0)
 
         name = datum.name or f"{datum.id:012d}"
+        saved_kp = datum.pose_keypoints
+        if scale_mode is not None and saved_kp is not None and saved_kp.size:
+            from openpose_tpu.pose import scaler as scaler_lib
+            h_img, w_img = views[0].image.shape[:2]
+            plan = scaler_lib.extract_scales(
+                (w_img, h_img), wrapper.pose_cfg.net_resolution,
+                wrapper.pose_cfg.scale_number, wrapper.pose_cfg.scale_gap)
+            saved_kp = scaler_lib.keypoints_to_mode(
+                saved_kp, scale_mode, (w_img, h_img),
+                plan.net_input_sizes[0], plan.output_resolution)
+        if keypoint_saver is not None and saved_kp is not None:
+            keypoint_saver.save([saved_kp], name, "pose")
         if json_dir is not None:
             json_io.save_people_json(
                 str(json_dir / f"{name}_keypoints.json"),
-                pose_keypoints=datum.pose_keypoints,
+                pose_keypoints=saved_kp,
                 face_keypoints=datum.face_keypoints,
                 hand_left_keypoints=datum.hand_left_keypoints,
                 hand_right_keypoints=datum.hand_right_keypoints,
@@ -244,6 +277,10 @@ def main(argv=None) -> int:
                 pose_keypoints=datum.pose_keypoints,
                 person_ids=datum.pose_ids))
         n_frames += 1
+        if args.fps_max > 0:   # WFpsMax (include/openpose/thread/wFpsMax.hpp)
+            budget = n_frames / args.fps_max - (time.time() - t_start)
+            if budget > 0:
+                time.sleep(budget)
         if args.cli_verbose > 0 and n_frames % max(int(args.cli_verbose), 1) == 0:
             print(f"Processed {n_frames} frames "
                   f"({n_frames / (time.time() - t_start):.2f} fps)")

@@ -35,6 +35,8 @@ class PoseConfig:
     compute_dtype: str = "bfloat16"
     number_people_max: int = -1                   # ~ --number_people_max
     render_threshold: float = 0.05
+    tracking: int = -1                            # ~ --tracking: CNN every
+                                                  # N+1 frames, LK in between
 
 
 @dataclasses.dataclass
@@ -100,11 +102,16 @@ class Wrapper:
         dtype = jnp.bfloat16 if pose.compute_dtype == "bfloat16" else jnp.float32
 
         self.pose_extractor: Optional[PoseExtractor] = None
+        self._pose_tracker = None
+        self._prev_pose_scores: Optional[np.ndarray] = None
         if pose.enable:
             model = zoo.load_pose_model(pose.model, pose.caffemodel)
             self.pose_extractor = PoseExtractor(
                 model, maximize_positives=pose.maximize_positives,
                 compute_dtype=dtype)
+            if pose.tracking >= 0:
+                from openpose_tpu.tracking.tracker import PersonTracker
+                self._pose_tracker = PersonTracker()
         self.face_extractor: Optional[FaceExtractor] = None
         if face.enable:
             self.face_extractor = FaceExtractor(
@@ -129,10 +136,23 @@ class Wrapper:
         """Full cascade on one BGR frame."""
         datum = Datum(id=datum_id, name=name, frame=image)
         if self.pose_extractor is not None:
-            pred = self.pose_extractor.forward(
-                image, self.pose_cfg.net_resolution,
-                self.pose_cfg.scale_number, self.pose_cfg.scale_gap)
-            kp, sc = pred.keypoints, pred.scores
+            # Tracking stride (reference: poseExtractor.cpp:46-49): run the
+            # CNN on every (tracking+1)-th frame, LK-propagate in between.
+            run_cnn = (self._pose_tracker is None
+                       or datum_id % (self.pose_cfg.tracking + 1) == 0)
+            if run_cnn:
+                pred = self.pose_extractor.forward(
+                    image, self.pose_cfg.net_resolution,
+                    self.pose_cfg.scale_number, self.pose_cfg.scale_gap)
+                kp, sc = pred.keypoints, pred.scores
+                if self._pose_tracker is not None:
+                    self._pose_tracker.observe(kp, image)
+                    self._prev_pose_scores = sc
+            else:
+                kp = self._pose_tracker.track(image)
+                sc = self._prev_pose_scores
+                if sc is None or sc.shape[0] != kp.shape[0]:
+                    sc = np.zeros((kp.shape[0],), np.float32)
             nmax = self.pose_cfg.number_people_max
             if nmax > 0 and kp.shape[0] > nmax:
                 order = np.argsort(-sc)[:nmax]   # KeepTopNPeople
