@@ -176,12 +176,23 @@ def main(argv=None) -> int:
     udp = savers.UdpSender(args.udp_host, args.udp_port) \
         if args.udp_host else None
 
+    gui = None
+    if args.display:
+        from openpose_tpu.render.gui import Gui
+        gui = Gui()
+        gui.state.part_to_show = args.part_to_show
+
     cameras = producer.cameras
     t_start = time.time()
     n_frames = 0
     for views in producer.frames():
         if args.max_frames >= 0 and n_frames >= args.max_frames:
             break
+        if gui is not None and not gui.state.running:
+            break
+        if gui is not None and gui.state.seek_delta > 0:
+            gui.state.seek_delta -= 1
+            continue                       # crude seek: skip frames forward
         datums = [wrapper.process(f.image, f.frame_id, f.name)
                   for f in views]
         datum = datums[0]
@@ -237,6 +248,8 @@ def main(argv=None) -> int:
                                        wrapper.pose_cfg.model)
             video3d_saver.write(img3d[..., ::-1])  # RGB -> BGR
         if image_saver or video_saver or args.display:
+            if gui is not None:
+                args.part_to_show = gui.state.part_to_show
             if args.part_to_show != 0:
                 from openpose_tpu.render import heatmaps as hm_render
                 pred = wrapper.pose_extractor.forward(
@@ -253,7 +266,13 @@ def main(argv=None) -> int:
                     frame = hm_render.overlay_heatmap(
                         views[0].image.copy(), pred.heatmaps, part)
             elif args.render_pose:
-                frame = wrapper.render(datum)
+                if gui is not None and not gui.state.blend:
+                    black = datum.frame
+                    datum.frame = np.zeros_like(black)
+                    frame = wrapper.render(datum)
+                    datum.frame = black
+                else:
+                    frame = wrapper.render(datum)
             else:
                 frame = views[0].image
             if args.show_info:
@@ -267,10 +286,9 @@ def main(argv=None) -> int:
                 image_saver.save(frame, name)
             if video_saver:
                 video_saver.write(frame)
-            if args.display:
-                import cv2
-                cv2.imshow("openpose_tpu", frame)
-                if cv2.waitKey(1) & 0xFF in (27, ord("q")):
+            if gui is not None:
+                gui.update(frame)
+                if not gui.state.running:
                     break
         if udp is not None:
             udp.send(json_io.people_json(
@@ -293,6 +311,8 @@ def main(argv=None) -> int:
         coco_saver.save(args.write_coco_json)
     if udp is not None:
         udp.close()
+    if gui is not None:
+        gui.close()
     dt = time.time() - t_start
     print(f"openpose_tpu: {n_frames} frames in {dt:.2f}s "
           f"({n_frames / max(dt, 1e-9):.2f} fps)")
