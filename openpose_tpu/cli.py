@@ -77,7 +77,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--write_video", default="")
     p.add_argument("--write_video_fps", type=float, default=-1.0)
     p.add_argument("--write_coco_json", default="")
+    p.add_argument("--part_candidates", action="store_true",
+                   help="add all NMS part candidates to the people JSON")
     p.add_argument("--write_heatmaps", default="")
+    p.add_argument("--heatmaps_add_parts", action="store_true")
+    p.add_argument("--heatmaps_add_bkg", action="store_true")
+    p.add_argument("--heatmaps_add_PAFs", action="store_true")
+    p.add_argument("--heatmaps_scale", type=int, default=2,
+                   help="0=[-1,1] floats, 1=[0,1] floats, 2=raw (flags.hpp)")
     p.add_argument("--udp_host", default="")
     p.add_argument("--udp_port", type=int, default=8051)
     p.add_argument("--render_pose", type=int, default=1)
@@ -132,7 +139,8 @@ def main(argv=None) -> int:
             compute_dtype="float32" if args.fp32 else "bfloat16",
             number_people_max=args.number_people_max,
             render_threshold=args.render_threshold,
-            tracking=args.tracking),
+            tracking=args.tracking,
+            part_candidates=args.part_candidates),
         face=FaceConfig(enable=args.face,
                         caffemodel=args.face_caffemodel_path or None),
         hand=HandConfig(enable=args.hand,
@@ -227,6 +235,7 @@ def main(argv=None) -> int:
             json_io.save_people_json(
                 str(json_dir / f"{name}_keypoints.json"),
                 pose_keypoints=saved_kp,
+                candidates=datum.part_candidates,
                 face_keypoints=datum.face_keypoints,
                 hand_left_keypoints=datum.hand_left_keypoints,
                 hand_right_keypoints=datum.hand_right_keypoints,
@@ -241,7 +250,24 @@ def main(argv=None) -> int:
                 views[0].image, wrapper.pose_cfg.net_resolution,
                 wrapper.pose_cfg.scale_number, wrapper.pose_cfg.scale_gap,
                 keep_heatmaps=True)
-            heatmap_saver.save(pred.heatmaps, name)
+            hm = pred.heatmaps
+            n_parts = wrapper.pose_extractor.info.num_parts
+            any_select = (args.heatmaps_add_parts or args.heatmaps_add_bkg
+                          or args.heatmaps_add_PAFs)
+            if any_select:       # channel subsets (flags.hpp heatmaps_add_*)
+                chans = []
+                if args.heatmaps_add_parts:
+                    chans.append(hm[..., :n_parts])
+                if args.heatmaps_add_bkg:
+                    chans.append(hm[..., n_parts:n_parts + 1])
+                if args.heatmaps_add_PAFs:
+                    chans.append(hm[..., n_parts + 1:])
+                hm = np.concatenate(chans, axis=-1)
+            if args.heatmaps_scale == 0:
+                hm = np.clip(hm, -1.0, 1.0)
+            elif args.heatmaps_scale == 1:
+                hm = np.clip((hm + 1.0) / 2.0, 0.0, 1.0)
+            heatmap_saver.save(hm, name)
         if video3d_saver is not None and datum.pose_keypoints_3d is not None:
             from openpose_tpu.render.gui3d import render_skeleton_3d
             img3d = render_skeleton_3d(datum.pose_keypoints_3d,
@@ -305,6 +331,8 @@ def main(argv=None) -> int:
 
     if video_saver:
         video_saver.close()
+        if args.video:
+            video_saver.mux_audio_from(args.video)
     if video3d_saver is not None:
         video3d_saver.close()
     if coco_saver is not None:

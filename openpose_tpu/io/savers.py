@@ -53,6 +53,28 @@ class VideoSaver:
             self.writer.release()
             self.writer = None
 
+    def mux_audio_from(self, source_video: str) -> bool:
+        """Copy the source video's audio track into the written file
+        (reference: videoSaver.cpp ffmpeg remux, --write_video with audio).
+        Requires the ffmpeg binary; returns False (and leaves the silent
+        video) when unavailable."""
+        import shutil
+        import subprocess
+        if self.writer is not None or shutil.which("ffmpeg") is None:
+            return False
+        tmp = self.path + ".mux.avi"
+        try:
+            subprocess.run(
+                ["ffmpeg", "-y", "-loglevel", "error", "-i", self.path,
+                 "-i", source_video, "-c:v", "copy", "-map", "0:v:0",
+                 "-map", "1:a:0?", "-shortest", tmp],
+                check=True)
+            pathlib.Path(tmp).replace(self.path)
+            return True
+        except (subprocess.CalledProcessError, OSError):
+            pathlib.Path(tmp).unlink(missing_ok=True)
+            return False
+
 
 class KeypointSaver:
     """Keypoints in OpenCV FileStorage layout (keypointSaver.cpp):

@@ -37,6 +37,7 @@ class PoseConfig:
     render_threshold: float = 0.05
     tracking: int = -1                            # ~ --tracking: CNN every
                                                   # N+1 frames, LK in between
+    part_candidates: bool = False                 # ~ --part_candidates
 
 
 @dataclasses.dataclass
@@ -75,6 +76,7 @@ class Datum:
     frame: Optional[np.ndarray] = None
     pose_keypoints: Optional[np.ndarray] = None       # [P, parts, 3]
     pose_scores: Optional[np.ndarray] = None          # [P]
+    part_candidates: Optional[List[np.ndarray]] = None  # per part [k, 3]
     pose_ids: Optional[np.ndarray] = None             # [P] person ids
     face_rectangles: Optional[List] = None
     face_keypoints: Optional[np.ndarray] = None       # [P, 70, 3]
@@ -145,6 +147,18 @@ class Wrapper:
                     image, self.pose_cfg.net_resolution,
                     self.pose_cfg.scale_number, self.pose_cfg.scale_gap)
                 kp, sc = pred.keypoints, pred.scores
+                if self.pose_cfg.part_candidates and pred.peaks is not None:
+                    # All NMS candidates per part, scaled to input pixels
+                    # (reference: --part_candidates, poseExtractorNet
+                    # getCandidatesCopy semantics).
+                    s = pred.scale_net_to_output
+                    cands = []
+                    for part in range(self.pose_extractor.info.num_parts):
+                        k = int(pred.peaks[part, 0, 0])
+                        c = pred.peaks[part, 1:k + 1].copy()
+                        c[:, :2] *= s
+                        cands.append(c)
+                    datum.part_candidates = cands
                 if self._pose_tracker is not None:
                     self._pose_tracker.observe(kp, image)
                     self._prev_pose_scores = sc

@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Chained-timing breakdown of the post-processing pipeline on the chip."""
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from openpose_tpu import train
+from openpose_tpu.models import zoo
+from openpose_tpu.ops import nms, paf, resize
+from openpose_tpu.params import POSE_MAX_PEOPLE, PoseModel
+from openpose_tpu.utils.benchmark import chain_ms
+
+
+def main():
+    model = zoo.load_pose_model(PoseModel.BODY_25)
+    info = model.info
+    pairs = jnp.asarray(paf.pair_tables(info)[0])
+    map_idx = jnp.asarray(paf.pair_tables(info)[1])
+    num_parts = info.num_parts
+    net_h, net_w = 368, 656
+    batch = 8
+
+    rng = np.random.RandomState(0)
+    people = 8
+    kp = np.zeros((batch, people, num_parts, 3), np.float32)
+    for b in range(batch):
+        for p in range(people):
+            cx, cy = rng.uniform(60, net_w - 60), rng.uniform(80, net_h - 80)
+            kp[b, p, :, 0] = cx + rng.uniform(-40, 40, num_parts)
+            kp[b, p, :, 1] = cy + rng.uniform(-70, 70, num_parts)
+            kp[b, p, :, 2] = 1.0
+    synth = jax.block_until_ready(train.make_targets(
+        jnp.asarray(kp), pairs, map_idx, (net_h, net_w), num_parts,
+        info.heatmap_channels))
+    merged0 = jax.block_until_ready(
+        jax.jit(lambda s: resize.resize_bicubic(
+            s[..., :num_parts], (net_h, net_w)))(synth))
+    peaks0 = jax.block_until_ready(
+        jax.jit(lambda m: nms.nms(m, 0.05, POSE_MAX_PEOPLE))(merged0))
+    print("peak counts: max", float(np.asarray(peaks0)[:, :, 0, 0].max()))
+
+    def t(name, step, **kw):
+        ms = chain_ms(step, **kw)
+        print(f"{name:32s} {ms / batch:7.3f} ms/frame  ({ms:7.2f} ms/batch)")
+
+    def step_resize(c):
+        m = resize.resize_bicubic((synth + c * 1e-12)[..., :num_parts],
+                                  (net_h, net_w))
+        return c + m[0, 0, 0, 0] * 1e-12
+
+    def step_nms(c):
+        pk = nms.nms(merged0 + c * 1e-12, 0.05, POSE_MAX_PEOPLE)
+        return c + pk[0, 0, 0, 0] * 1e-12
+
+    def step_paf_fast(c):
+        sc = paf.paf_scores_multiscale(
+            (synth + c * 1e-12,), (1.0,), (net_h, net_w), peaks0, pairs,
+            map_idx, 0.05, 0.95, 0.05, fast_peaks=32)
+        return c + sc[0, 0, 0, 0] * 1e-12
+
+    def step_paf_fast16(c):
+        sc = paf.paf_scores_multiscale(
+            (synth + c * 1e-12,), (1.0,), (net_h, net_w), peaks0, pairs,
+            map_idx, 0.05, 0.95, 0.05, fast_peaks=16)
+        return c + sc[0, 0, 0, 0] * 1e-12
+
+    t("resize_bicubic 26ch", step_resize)
+    t("nms (full res)", step_nms)
+    t("paf fast_peaks=32", step_paf_fast)
+    t("paf fast_peaks=16", step_paf_fast16)
+
+
+if __name__ == "__main__":
+    main()
