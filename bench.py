@@ -83,7 +83,7 @@ def main() -> None:
         return peaks, scores
 
     def step_post(c):
-        peaks, scores = _post(synth + c * 1e-12, fast_peaks=32)
+        peaks, scores = _post(synth + c * 1e-12, fast_peaks=(16, 48))
         return c + peaks[0, 0, 0, 0] * 1e-12 + scores[0, 0, 0, 0] * 1e-12
 
     def step_post_worst(c):

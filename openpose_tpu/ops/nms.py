@@ -42,22 +42,33 @@ def _shift2d(x: jax.Array, dy: int, dx: int, fill: jax.Array) -> jax.Array:
     return jnp.where(valid, shifted, fill)
 
 
-def _box7_sums(heat: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Separable 7x7 sums of (s, x*s, y*s) with s = max(heat, 0)."""
-    n, h, w, c = heat.shape
-    s = jnp.maximum(heat, 0.0)
-    xs = jnp.arange(w, dtype=heat.dtype)[None, None, :, None]
-    ys = jnp.arange(h, dtype=heat.dtype)[None, :, None, None]
-    stack = jnp.concatenate([s, s * xs, s * ys], axis=-1)  # [N,H,W,3C]
-    kern = jnp.ones((7, 1, 1), heat.dtype)
-    # depthwise 7x1 then 1x7 via reduce_window (cheap, fusable)
-    summed = jax.lax.reduce_window(
-        stack, 0.0, jax.lax.add, (1, 7, 1, 1), (1, 1, 1, 1),
-        [(0, 0), (3, 3), (0, 0), (0, 0)])
-    summed = jax.lax.reduce_window(
-        summed, 0.0, jax.lax.add, (1, 1, 7, 1), (1, 1, 1, 1),
-        [(0, 0), (0, 0), (3, 3), (0, 0)])
-    return summed[..., :c], summed[..., c:2 * c], summed[..., 2 * c:]
+def _refine_at_peaks(heat_c: jax.Array, peak_idx: jax.Array, h: int, w: int,
+                     offset: Tuple[float, float]
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """Sub-pixel refinement gathered only at the peak windows.
+
+    heat_c: [N, C, H*W]; peak_idx: [N, C, K] flat indices.  Returns refined
+    (x, y) [N, C, K].  Mirrors nmsAccuratePeakPosition (nmsBase.cpp:70-107):
+    score-weighted centroid of score>0 samples over the in-bounds part of the
+    7x7 window, plus the (+0.5, +0.5) offset.  Gathering 49 taps at <=K peaks
+    is ~200x less memory traffic than box-filtering the whole map.
+    """
+    n, c, k = peak_idx.shape
+    py = peak_idx // w                                   # [N,C,K]
+    px = peak_idx % w
+    d = jnp.arange(-3, 4, dtype=jnp.int32)
+    wy = py[..., None, None] + d[:, None]                # [N,C,K,7,1]
+    wx = px[..., None, None] + d[None, :]                # [N,C,K,1,7]
+    inside = (wy >= 0) & (wy < h) & (wx >= 0) & (wx < w)  # [N,C,K,7,7]
+    idx = (jnp.clip(wy, 0, h - 1) * w
+           + jnp.clip(wx, 0, w - 1)).reshape(n, c, -1)
+    vals = jnp.take_along_axis(heat_c, idx, axis=-1).reshape(n, c, k, 7, 7)
+    s = jnp.where(inside, jnp.maximum(vals, 0.0), 0.0)
+    s_sum = s.sum(axis=(-1, -2))
+    denom = jnp.where(s_sum > 0, s_sum, 1.0)
+    x_ref = (s * wx.astype(s.dtype)).sum(axis=(-1, -2)) / denom + offset[0]
+    y_ref = (s * wy.astype(s.dtype)).sum(axis=(-1, -2)) / denom + offset[1]
+    return x_ref, y_ref
 
 
 @functools.partial(jax.jit, static_argnames=("max_peaks", "offset"))
@@ -85,12 +96,6 @@ def nms(heatmaps: jax.Array, threshold: jax.Array, max_peaks: int = 127,
     interior = (xs > 1) & (xs < w - 2) & (ys > 1) & (ys < h - 2)
     inner = ((xs == 1) | (xs == w - 2) | (ys == 1) | (ys == h - 2))
     is_peak = (heat > thr) & ((interior & gt_all) | (inner & ge_all))
-
-    # Sub-pixel refinement maps, evaluated everywhere (cheap separable sums)
-    s_sum, sx_sum, sy_sum = _box7_sums(heat)
-    denom = jnp.where(s_sum > 0, s_sum, 1.0)
-    x_ref = sx_sum / denom + offset[0]
-    y_ref = sy_sum / denom + offset[1]
 
     # Compaction: first `max_peaks` peaks in row-major order per (n, c).
     # Two-stage exact selection: a direct top_k over H*W elements is slow on
@@ -120,13 +125,11 @@ def nms(heatmaps: jax.Array, threshold: jax.Array, max_peaks: int = 127,
     count = valid.sum(axis=-1).astype(jnp.float32)      # [N,C]
     peak_idx = jnp.where(valid, peak_idx, 0)
 
-    def gather_map(m):  # [N,H,W,C] -> [N,C,max_peaks]
-        mc = m.transpose(0, 3, 1, 2).reshape(n, c, h * w)
-        return jnp.take_along_axis(mc, peak_idx, axis=-1)
-
-    px = jnp.where(valid, gather_map(x_ref), 0.0)
-    py = jnp.where(valid, gather_map(y_ref), 0.0)
-    ps = jnp.where(valid, gather_map(heat), 0.0)
+    heat_c = heat.transpose(0, 3, 1, 2).reshape(n, c, h * w)
+    x_ref, y_ref = _refine_at_peaks(heat_c, peak_idx, h, w, offset)
+    px = jnp.where(valid, x_ref, 0.0)
+    py = jnp.where(valid, y_ref, 0.0)
+    ps = jnp.where(valid, jnp.take_along_axis(heat_c, peak_idx, axis=-1), 0.0)
 
     peaks = jnp.stack([px, py, ps], axis=-1)            # [N,C,max_peaks,3]
     header = jnp.zeros((n, c, 1, 3), jnp.float32).at[:, :, 0, 0].set(count)

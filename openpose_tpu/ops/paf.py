@@ -174,7 +174,7 @@ def paf_scores_multiscale(
         inter_min_above_threshold: jax.Array,
         default_nms_threshold: jax.Array,
         use_pallas: Optional[bool] = None,
-        fast_peaks: int = 32,
+        fast_peaks=(16, 48),
         precision=None) -> jax.Array:
     """TPU-native backend: evaluate the merged upsampled PAF analytically.
 
@@ -184,42 +184,49 @@ def paf_scores_multiscale(
     the full-res backend (up to f32 summation order), with zero gathers.
 
     Tiered peak count: candidate-pair work grows as max_peaks^2, but real
-    frames rarely have >32 peaks per part (the reference GPU kernel pays
-    nothing for empty candidates because its threads early-exit,
+    frames rarely have more than a dozen peaks per part (the reference GPU
+    kernel pays nothing for empty candidates because its threads early-exit,
     src/openpose/net/bodyPartConnectorBase.cu:30-33; static TPU shapes do).
-    When every part's count <= `fast_peaks` the score matrix outside the
-    leading [fast_peaks, fast_peaks] block is -1 by construction (invalid
-    combinations), so scoring only that block and padding is exact; a
-    `lax.cond` falls back to the full computation for crowded frames.
-    Set fast_peaks=0 to disable the tier.
+    When every part's count <= k the score matrix outside the leading [k, k]
+    block is -1 by construction (invalid combinations), so scoring only that
+    block and padding is exact.  `fast_peaks` is an ascending ladder of tier
+    sizes; nested `lax.cond`s pick the smallest sufficient tier at runtime
+    and fall through to the full computation for crowded frames.  Pass an
+    int for a single tier or 0/() to disable.
     """
     if use_pallas is None:
         use_pallas = _use_pallas_default()
     max_peaks = peaks.shape[2] - 1
-    if 0 < fast_peaks < max_peaks:
-        counts = peaks[:, :, 0, 0]
-        pad = max_peaks - fast_peaks
+    if isinstance(fast_peaks, int):
+        fast_peaks = (fast_peaks,) if fast_peaks > 0 else ()
+    tiers = tuple(k for k in sorted(fast_peaks) if 0 < k < max_peaks)
 
-        def fast_fn(pk):
-            s = _multiscale_impl(
-                sources, scale_ratios, target_hw, pk[:, :, :fast_peaks + 1],
-                pairs, map_idx, inter_threshold, inter_min_above_threshold,
-                default_nms_threshold, use_pallas, precision)
-            return jnp.pad(s, ((0, 0), (0, 0), (0, pad), (0, pad)),
-                           constant_values=-1.0)
+    def impl(pk):
+        return _multiscale_impl(
+            sources, scale_ratios, target_hw, pk, pairs, map_idx,
+            inter_threshold, inter_min_above_threshold,
+            default_nms_threshold, use_pallas, precision)
 
-        def slow_fn(pk):
-            return _multiscale_impl(
-                sources, scale_ratios, target_hw, pk, pairs, map_idx,
-                inter_threshold, inter_min_above_threshold,
-                default_nms_threshold, use_pallas, precision)
+    if not tiers:
+        return impl(peaks)
+    max_count = jnp.max(peaks[:, :, 0, 0])
 
-        return jax.lax.cond(jnp.max(counts) <= fast_peaks,
-                            fast_fn, slow_fn, peaks)
-    return _multiscale_impl(
-        sources, scale_ratios, target_hw, peaks, pairs, map_idx,
-        inter_threshold, inter_min_above_threshold, default_nms_threshold,
-        use_pallas, precision)
+    def tiered(remaining):
+        if not remaining:
+            return lambda pk: impl(pk)
+        k = remaining[0]
+
+        def fn(pk):
+            def fast(p):
+                s = impl(p[:, :, :k + 1])
+                pad = max_peaks - k
+                return jnp.pad(s, ((0, 0), (0, 0), (0, pad), (0, pad)),
+                               constant_values=-1.0)
+            return jax.lax.cond(max_count <= k, fast,
+                                tiered(remaining[1:]), pk)
+        return fn
+
+    return tiered(tiers)(peaks)
 
 
 def _multiscale_impl(

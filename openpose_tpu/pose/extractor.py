@@ -82,14 +82,22 @@ class PoseExtractor:
         compute_dtype = self.compute_dtype
         model = self.model
 
-        def run(params, image_f32):  # image [1, H, W, 3] BGR float (0..255)
-            sources = []
-            for (w, h), s in zip(plan.net_input_sizes, plan.scale_input_to_net):
-                net_in = resize.resize_fixed_aspect(image_f32, s, (h, w))
-                net_in = resize.normalize_vgg(net_in)
-                from openpose_tpu.models import graph as _graph
-                sources.append(_graph.forward(params, model.spec, net_in,
-                                              compute_dtype))
+        def run(params, image_f32, injected=None):
+            # image [1, H, W, 3] BGR float (0..255); injected: optional
+            # [1, h/8, w/8, C] net output replacing the CNN (the reference's
+            # Datum::poseNetOutput bypass, include/openpose/core/datum.hpp:
+            # 212-217, poseExtractorCaffe.cpp:249-262).
+            if injected is not None:
+                sources = [injected.astype(jnp.float32)]
+            else:
+                sources = []
+                for (w, h), s in zip(plan.net_input_sizes,
+                                     plan.scale_input_to_net):
+                    net_in = resize.resize_fixed_aspect(image_f32, s, (h, w))
+                    net_in = resize.normalize_vgg(net_in)
+                    from openpose_tpu.models import graph as _graph
+                    sources.append(_graph.forward(params, model.spec, net_in,
+                                                  compute_dtype))
             # Only the part channels are upsampled/merged (NMS input); PAF
             # channels are sampled analytically from the low-res sources.
             merged_parts = resize.upsample_merge(
@@ -126,8 +134,14 @@ class PoseExtractor:
     def forward(self, image: np.ndarray,
                 net_resolution: Tuple[int, int] = (-1, 368),
                 scale_number: int = 1, scale_gap: float = 0.25,
-                keep_heatmaps: bool = False) -> PosePrediction:
-        """image: [H, W, 3] uint8/float BGR."""
+                keep_heatmaps: bool = False,
+                net_output: Optional[np.ndarray] = None) -> PosePrediction:
+        """image: [H, W, 3] uint8/float BGR.
+
+        net_output: optional [h/8, w/8, C] heatmap tensor that bypasses the
+        CNN (the reference's Datum::poseNetOutput hook, datum.hpp:212-217;
+        tutorial 09_keypoints_from_heatmaps) — post-processing only.
+        """
         if image.ndim != 3 or image.shape[-1] != 3:
             raise ValueError(
                 f"input image must be [H, W, 3] BGR, got shape {image.shape}")
@@ -147,7 +161,12 @@ class PoseExtractor:
 
         fn = self._device_fn((in_h, in_w), plan, nms_offset)
         img = jnp.asarray(np.ascontiguousarray(image, np.float32)[None])
-        merged, peaks_dev, scores_dev, full_low = fn(self.model.params, img)
+        injected = None
+        if net_output is not None:
+            injected = jnp.asarray(
+                np.ascontiguousarray(net_output, np.float32)[None])
+        merged, peaks_dev, scores_dev, full_low = fn(self.model.params, img,
+                                                     injected)
 
         peaks_np = np.asarray(peaks_dev)[0]
         scores_np = np.asarray(scores_dev)[0]

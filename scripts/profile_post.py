@@ -68,10 +68,27 @@ def main():
             map_idx, 0.05, 0.95, 0.05, fast_peaks=16)
         return c + sc[0, 0, 0, 0] * 1e-12
 
+    def step_paf_ladder(c):
+        sc = paf.paf_scores_multiscale(
+            (synth + c * 1e-12,), (1.0,), (net_h, net_w), peaks0, pairs,
+            map_idx, 0.05, 0.95, 0.05, fast_peaks=(16, 48))
+        return c + sc[0, 0, 0, 0] * 1e-12
+
+    def step_full_post(c):
+        src = synth + c * 1e-12
+        m = resize.resize_bicubic(src[..., :num_parts], (net_h, net_w))
+        pk = nms.nms(m, 0.05, POSE_MAX_PEOPLE)
+        sc = paf.paf_scores_multiscale(
+            (src,), (1.0,), (net_h, net_w), pk, pairs, map_idx,
+            0.05, 0.95, 0.05, fast_peaks=(16, 48))
+        return c + pk[0, 0, 0, 0] * 1e-12 + sc[0, 0, 0, 0] * 1e-12
+
     t("resize_bicubic 26ch", step_resize)
     t("nms (full res)", step_nms)
     t("paf fast_peaks=32", step_paf_fast)
     t("paf fast_peaks=16", step_paf_fast16)
+    t("paf ladder (16,48)", step_paf_ladder)
+    t("FULL post (resize+nms+paf)", step_full_post)
 
 
 if __name__ == "__main__":

@@ -238,6 +238,17 @@ class TestPafFastTier:
         got = np.asarray(paf.paf_scores_multiscale(*args, fast_peaks=4))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.parametrize("counts", [[2, 1, 2, 0],      # first tier
+                                        [5, 2, 4, 0],      # middle tier
+                                        [9, 2, 4, 0]])     # falls through
+    def test_tier_ladder(self, counts):
+        src, peaks, pairs, map_idx, hw = self._scene(counts, max_peaks=12)
+        args = ((jnp.asarray(src),), (1.0,), hw, jnp.asarray(peaks),
+                jnp.asarray(pairs), jnp.asarray(map_idx), 0.05, 0.5, 0.05)
+        want = np.asarray(paf.paf_scores_multiscale(*args, fast_peaks=0))
+        got = np.asarray(paf.paf_scores_multiscale(*args, fast_peaks=(3, 6)))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
 
 class TestPafMultiscale:
     def test_matches_fullres_backend(self):
