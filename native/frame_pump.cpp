@@ -18,6 +18,7 @@
 //
 // Build: make -C native   (produces libframe_pump.so)
 
+#include <atomic>
 #include <condition_variable>
 #include <cstring>
 #include <deque>
@@ -29,6 +30,7 @@
 
 #include <opencv2/imgcodecs.hpp>
 #include <opencv2/imgproc.hpp>
+#include <opencv2/videoio.hpp>
 
 namespace {
 
@@ -189,9 +191,197 @@ class FramePump {
     bool stopping_ = false;
 };
 
+// VideoPump: sequential native decode (cv::VideoCapture) + parallel
+// preprocessing, emitting BOTH the original BGR frame (for rendering/output,
+// the reference Datum::cvInputData) and the ready net input in frame order.
+// Counterpart of VideoCaptureReader + WDatumProducer
+// (src/openpose/producer/videoCaptureReader.cpp, datumProducer.hpp).
+class VideoPump {
+  public:
+    VideoPump(const char* path, int threads, int capacity,
+              int net_w, int net_h, int frame_step)
+        : capacity_(capacity), net_w_(net_w), net_h_(net_h),
+          step_(frame_step < 1 ? 1 : frame_step), cap_(path) {
+        if (!cap_.isOpened()) {
+            failed_ = true;
+            return;
+        }
+        src_w_ = (int)cap_.get(cv::CAP_PROP_FRAME_WIDTH);
+        src_h_ = (int)cap_.get(cv::CAP_PROP_FRAME_HEIGHT);
+        fps_ = cap_.get(cv::CAP_PROP_FPS);
+        frame_count_ = (long)cap_.get(cv::CAP_PROP_FRAME_COUNT);
+        decoder_ = std::thread([this] { decodeLoop(); });
+        for (int i = 0; i < threads; ++i)
+            workers_.emplace_back([this] { workerLoop(); });
+    }
+
+    ~VideoPump() {
+        {
+            std::lock_guard<std::mutex> lock(mutex_);
+            stopping_ = true;
+        }
+        cv_jobs_.notify_all();
+        cv_results_.notify_all();
+        cv_space_.notify_all();
+        if (decoder_.joinable()) decoder_.join();
+        for (auto& w : workers_) w.join();
+    }
+
+    bool failed() const { return failed_; }
+    double fps() const { return fps_; }
+    long frameCount() const { return frame_count_; }
+    int srcW() const { return src_w_; }
+    int srcH() const { return src_h_; }
+
+    // Returns seq >= 0 with net input + original frame; -1 timeout; -3 EOF.
+    long next(float* net_out, unsigned char* frame_out, double* scale_out,
+              int timeout_ms) {
+        std::unique_lock<std::mutex> lock(mutex_);
+        const bool got = cv_results_.wait_for(
+            lock, std::chrono::milliseconds(timeout_ms), [this] {
+                return stopping_ || results_.count(next_pop_) > 0
+                    || (eof_ && in_flight_ == 0);
+            });
+        if (results_.count(next_pop_) == 0)
+            return (eof_ && in_flight_ == 0) ? -3 : (got ? -1 : -1);
+        Item it = std::move(results_[next_pop_]);
+        results_.erase(next_pop_);
+        const long seq = next_pop_++;
+        in_flight_--;
+        lock.unlock();
+        cv_space_.notify_one();
+        std::memcpy(net_out, it.net.data(), it.net.size() * sizeof(float));
+        std::memcpy(frame_out, it.frame.data, it.frame.total() * 3);
+        if (scale_out) *scale_out = it.scale;
+        return seq;
+    }
+
+  private:
+    struct Item {
+        cv::Mat frame;
+        std::vector<float> net;
+        double scale;
+    };
+
+    void decodeLoop() {
+        long seq = 0;
+        long raw_index = 0;
+        for (;;) {
+            cv::Mat frame;
+            if (!cap_.read(frame)) {
+                std::lock_guard<std::mutex> lock(mutex_);
+                eof_ = true;
+                cv_results_.notify_all();
+                return;
+            }
+            if (raw_index++ % step_ != 0)
+                continue;
+            std::unique_lock<std::mutex> lock(mutex_);
+            cv_space_.wait(lock, [this] {
+                return stopping_ || in_flight_ < capacity_;
+            });
+            if (stopping_)
+                return;
+            in_flight_++;
+            jobs_.emplace_back(seq++, std::move(frame));
+            lock.unlock();
+            cv_jobs_.notify_one();
+        }
+    }
+
+    void workerLoop() {
+        for (;;) {
+            std::pair<long, cv::Mat> job;
+            {
+                std::unique_lock<std::mutex> lock(mutex_);
+                cv_jobs_.wait(lock, [this] {
+                    return stopping_ || !jobs_.empty();
+                });
+                if (stopping_)
+                    return;
+                job = std::move(jobs_.front());
+                jobs_.pop_front();
+            }
+            Item it;
+            it.frame = job.second;
+            const double ratio_w = (net_w_ - 1) / (double)(it.frame.cols - 1);
+            const double ratio_h = (net_h_ - 1) / (double)(it.frame.rows - 1);
+            it.scale = std::min(ratio_w, ratio_h);
+            cv::Mat m = cv::Mat::eye(2, 3, CV_64F);
+            m.at<double>(0, 0) = it.scale;
+            m.at<double>(1, 1) = it.scale;
+            cv::Mat resized;
+            cv::warpAffine(it.frame, resized, m, cv::Size(net_w_, net_h_),
+                           (it.scale > 1. ? cv::INTER_CUBIC : cv::INTER_AREA),
+                           cv::BORDER_CONSTANT, cv::Scalar(0, 0, 0));
+            it.net.resize((size_t)net_h_ * net_w_ * 3);
+            const unsigned char* src = resized.data;
+            float* dst = it.net.data();
+            for (size_t i = 0; i < it.net.size(); ++i)
+                dst[i] = src[i] * (1.f / 256.f) - 0.5f;
+            {
+                std::lock_guard<std::mutex> lock(mutex_);
+                results_[job.first] = std::move(it);
+            }
+            cv_results_.notify_all();
+        }
+    }
+
+    const int capacity_, net_w_, net_h_, step_;
+    cv::VideoCapture cap_;
+    bool failed_ = false;
+    int src_w_ = 0, src_h_ = 0;
+    double fps_ = 0.0;
+    long frame_count_ = 0;
+    std::thread decoder_;
+    std::vector<std::thread> workers_;
+    std::deque<std::pair<long, cv::Mat>> jobs_;
+    std::map<long, Item> results_;
+    std::mutex mutex_;
+    std::condition_variable cv_jobs_, cv_results_, cv_space_;
+    long next_pop_ = 0;
+    std::atomic<long> in_flight_{0};
+    bool eof_ = false;
+    bool stopping_ = false;
+};
+
 }  // namespace
 
 extern "C" {
+
+void* vp_create(const char* path, int threads, int capacity,
+                int net_w, int net_h, int frame_step) {
+    auto* vp = new VideoPump(path, threads, capacity, net_w, net_h,
+                             frame_step);
+    if (vp->failed()) {
+        delete vp;
+        return nullptr;
+    }
+    return vp;
+}
+
+long vp_next(void* handle, float* net_out, unsigned char* frame_out,
+             double* scale_out, int timeout_ms) {
+    return static_cast<VideoPump*>(handle)->next(net_out, frame_out,
+                                                 scale_out, timeout_ms);
+}
+
+double vp_fps(void* handle) {
+    return static_cast<VideoPump*>(handle)->fps();
+}
+
+long vp_frame_count(void* handle) {
+    return static_cast<VideoPump*>(handle)->frameCount();
+}
+
+void vp_size(void* handle, int* w, int* h) {
+    *w = static_cast<VideoPump*>(handle)->srcW();
+    *h = static_cast<VideoPump*>(handle)->srcH();
+}
+
+void vp_destroy(void* handle) {
+    delete static_cast<VideoPump*>(handle);
+}
 
 void* fp_create(int threads, int capacity, int net_w, int net_h) {
     return new FramePump(threads, capacity, net_w, net_h);

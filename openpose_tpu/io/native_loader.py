@@ -38,6 +38,20 @@ def _load():
         lib.fp_pending.restype = ctypes.c_long
         lib.fp_pending.argtypes = [ctypes.c_void_p]
         lib.fp_destroy.argtypes = [ctypes.c_void_p]
+        lib.vp_create.restype = ctypes.c_void_p
+        lib.vp_create.argtypes = [ctypes.c_char_p] + [ctypes.c_int] * 5
+        lib.vp_next.restype = ctypes.c_long
+        lib.vp_next.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int]
+        lib.vp_fps.restype = ctypes.c_double
+        lib.vp_fps.argtypes = [ctypes.c_void_p]
+        lib.vp_frame_count.restype = ctypes.c_long
+        lib.vp_frame_count.argtypes = [ctypes.c_void_p]
+        lib.vp_size.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+                                ctypes.POINTER(ctypes.c_int)]
+        lib.vp_destroy.argtypes = [ctypes.c_void_p]
         _lib = lib
     return _lib
 
@@ -84,6 +98,64 @@ class NativeFramePump:
     def close(self) -> None:
         if self._handle:
             self._lib.fp_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeVideoPump:
+    """Native video decode + parallel preprocessing, frame order preserved
+    (VideoCaptureReader + WDatumProducer roles in C++;
+    native/frame_pump.cpp VideoPump).  Emits (seq, original BGR frame,
+    normalized net input, scale)."""
+
+    def __init__(self, path: str, net_w: int, net_h: int, threads: int = 3,
+                 capacity: int = 16, frame_step: int = 1):
+        self._lib = _load()
+        self._handle = self._lib.vp_create(
+            path.encode(), threads, capacity, net_w, net_h, frame_step)
+        if not self._handle:
+            raise IOError(f"cannot open video: {path}")
+        self.net_w = net_w
+        self.net_h = net_h
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        self._lib.vp_size(self._handle, ctypes.byref(w), ctypes.byref(h))
+        self.frame_size = (w.value, h.value)      # (w, h)
+        self.fps = float(self._lib.vp_fps(self._handle))
+        self.frame_count = int(self._lib.vp_frame_count(self._handle))
+
+    def next(self, timeout_ms: int = 10000
+             ) -> Optional[Tuple[int, np.ndarray, np.ndarray, float]]:
+        """-> (seq, frame BGR uint8, net_input f32, scale); None at EOF."""
+        net = np.empty((self.net_h, self.net_w, 3), np.float32)
+        frame = np.empty((self.frame_size[1], self.frame_size[0], 3),
+                         np.uint8)
+        scale = ctypes.c_double()
+        seq = self._lib.vp_next(
+            self._handle, net.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            frame.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            ctypes.byref(scale), timeout_ms)
+        if seq == -3:
+            return None
+        if seq < 0:
+            raise TimeoutError("native video pump: timeout")
+        return int(seq), frame, net, float(scale.value)
+
+    def __iter__(self):
+        while True:
+            item = self.next()
+            if item is None:
+                return
+            yield item
+
+    def close(self) -> None:
+        if self._handle:
+            self._lib.vp_destroy(self._handle)
             self._handle = None
 
     def __del__(self):

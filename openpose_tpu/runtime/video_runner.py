@@ -141,3 +141,73 @@ class VideoRunner:
         keypoints, person_scores = self.extractor.assemble(
             peaks, scores, scale_net_to_output)
         return FrameResult(index, keypoints, person_scores, src_wh)
+
+    # ------------------------------------------------------------------ #
+    def run_video(self, path: str, frame_step: int = 1,
+                  on_result: Optional[Callable[[FrameResult], None]] = None,
+                  max_frames: int = -1) -> List[FrameResult]:
+        """Whole-video throughput path: native sequential decode + parallel
+        preprocessing (NativeVideoPump) feeding batched device inference."""
+        from openpose_tpu.io.native_loader import NativeVideoPump, available
+        if not available():
+            raise RuntimeError("native frame pump not built (make -C native)")
+        net_h, net_w = self.inference.net_hw
+        pump = NativeVideoPump(path, net_w, net_h,
+                               threads=self.decode_threads,
+                               capacity=self.batch_size * 4,
+                               frame_step=frame_step)
+        src_wh = pump.frame_size
+        results: List[FrameResult] = []
+        pool = concurrent.futures.ThreadPoolExecutor(self.assembly_workers)
+        pending = []
+        futures = []
+
+        def flush(batch, scales, start_idx, real):
+            import jax.numpy as jnp
+            images = (np.stack(batch) + 0.5) * 256.0
+            out = self.inference(jnp.asarray(images))
+            pending.append((start_idx, out, list(scales), real))
+
+        def resolve():
+            start_idx, (pk_dev, sc_dev), scales, real = pending.pop(0)
+            pk, sc = np.asarray(pk_dev), np.asarray(sc_dev)
+            for bi in range(real):
+                s_n2o = 1.0 / scales[bi] if scales[bi] > 0 else 1.0
+                futures.append(pool.submit(
+                    self._assemble_one, start_idx + bi, pk[bi], sc[bi],
+                    s_n2o, src_wh))
+
+        try:
+            batch, scales = [], []
+            start_idx = 0
+            n = 0
+            for _, _frame, net_in, scale in pump:
+                if 0 <= max_frames <= n:
+                    break
+                n += 1
+                batch.append(net_in)
+                scales.append(scale)
+                if len(batch) == self.batch_size:
+                    flush(batch, scales, start_idx, len(batch))
+                    start_idx += len(batch)
+                    batch, scales = [], []
+                    if len(pending) > 1:
+                        resolve()
+            if batch:
+                real = len(batch)
+                pad = self.batch_size - real
+                batch += [batch[-1]] * pad
+                scales += [scales[-1]] * pad
+                flush(batch, scales, start_idx, real)
+            while pending:
+                resolve()
+            for fut in futures:
+                res = fut.result()
+                results.append(res)
+                if on_result is not None:
+                    on_result(res)
+        finally:
+            pool.shutdown(wait=True)
+            pump.close()
+        results.sort(key=lambda r: r.index)
+        return results
