@@ -25,10 +25,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--image_dir", default="")
     p.add_argument("--video", default="")
     p.add_argument("--camera", type=int, default=-1)
+    p.add_argument("--camera_resolution", default="-1x-1",
+                   help="webcam capture resolution")
     p.add_argument("--ip_camera", default="")
+    p.add_argument("--flir_camera", action="store_true",
+                   help="unsupported (Spinnaker SDK); errors with guidance")
     p.add_argument("--frame_first", type=int, default=0)
     p.add_argument("--frame_step", type=int, default=1)
     p.add_argument("--frame_last", type=int, default=-1)
+    p.add_argument("--frames_repeat", action="store_true",
+                   help="loop the input source when it ends")
+    p.add_argument("--process_real_time", action="store_true",
+                   help="pace processing at the source frame rate")
     p.add_argument("--frame_flip", action="store_true")
     p.add_argument("--frame_rotate", type=int, default=0)
     p.add_argument("--num_views", type=int, default=1,
@@ -40,19 +48,40 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model_pose", default="BODY_25",
                    choices=["BODY_25", "COCO_18", "MPI_15", "MPI_15_4"])
     p.add_argument("--net_resolution", default="-1x368")
+    p.add_argument("--net_resolution_dynamic", type=float, default=1.0,
+                   help="image inputs only: clip the -1 auto width to this "
+                        "ratio x 656 (flags.hpp net_resolution_dynamic)")
     p.add_argument("--scale_number", type=int, default=1)
     p.add_argument("--scale_gap", type=float, default=0.25)
+    p.add_argument("--upsampling_ratio", type=float, default=0.0,
+                   help="heatmap upsample ratio vs net output; <=0 = net "
+                        "default (8x to net input resolution)")
     p.add_argument("--number_people_max", type=int, default=-1)
     p.add_argument("--maximize_positives", action="store_true")
+    p.add_argument("--model_folder", default="",
+                   help="reference-layout models/ dir with .caffemodel files")
+    p.add_argument("--prototxt_path", default="",
+                   help="custom Caffe deploy prototxt for the pose topology")
     p.add_argument("--caffemodel_path", default="",
                    help="original .caffemodel to convert and use")
     p.add_argument("--fp32", action="store_true",
                    help="float32 compute (default bfloat16)")
+    p.add_argument("--disable_multi_thread", action="store_true",
+                   help="parity flag: the CLI demo already runs the pipeline "
+                        "synchronously on one thread")
     # Face / hand
     p.add_argument("--face", action="store_true")
     p.add_argument("--face_caffemodel_path", default="")
+    p.add_argument("--face_net_resolution", default="368x368")
+    p.add_argument("--face_render_threshold", type=float, default=0.4)
+    p.add_argument("--face_alpha_pose", type=float, default=0.6)
+    p.add_argument("--face_alpha_heatmap", type=float, default=0.7)
     p.add_argument("--hand", action="store_true")
     p.add_argument("--hand_caffemodel_path", default="")
+    p.add_argument("--hand_net_resolution", default="368x368")
+    p.add_argument("--hand_render_threshold", type=float, default=0.2)
+    p.add_argument("--hand_alpha_pose", type=float, default=0.6)
+    p.add_argument("--hand_alpha_heatmap", type=float, default=0.7)
     p.add_argument("--hand_scale_number", type=int, default=1)
     p.add_argument("--hand_scale_range", type=float, default=0.4)
     # Tracking
@@ -74,12 +103,24 @@ def build_parser() -> argparse.ArgumentParser:
                    help="cap processing rate (WFpsMax equivalent)")
     p.add_argument("--write_json", default="")
     p.add_argument("--write_images", default="")
+    p.add_argument("--write_images_format", default="png",
+                   help="png / jpg / bmp ... (write_images_format)")
     p.add_argument("--write_video", default="")
     p.add_argument("--write_video_fps", type=float, default=-1.0)
+    p.add_argument("--write_video_with_audio", action="store_true",
+                   help="remux the source audio track into --write_video")
+    p.add_argument("--write_bvh", default="",
+                   help="unsupported: requires the non-redistributable Adam "
+                        "model (reference gates it behind USE_3D_ADAM_MODEL)")
+    p.add_argument("--write_video_adam", default="",
+                   help="unsupported: requires the Adam model (see "
+                        "--write_bvh)")
     p.add_argument("--write_coco_json", default="")
     p.add_argument("--part_candidates", action="store_true",
                    help="add all NMS part candidates to the people JSON")
     p.add_argument("--write_heatmaps", default="")
+    p.add_argument("--write_heatmaps_format", default="float",
+                   help="float (raw binary) or png tiles")
     p.add_argument("--heatmaps_add_parts", action="store_true")
     p.add_argument("--heatmaps_add_bkg", action="store_true")
     p.add_argument("--heatmaps_add_PAFs", action="store_true")
@@ -89,6 +130,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--udp_port", type=int, default=8051)
     p.add_argument("--render_pose", type=int, default=1)
     p.add_argument("--render_threshold", type=float, default=0.05)
+    p.add_argument("--alpha_pose", type=float, default=0.6,
+                   help="skeleton/original blending factor (flags.hpp)")
+    p.add_argument("--alpha_heatmap", type=float, default=0.7,
+                   help="heatmap/original blending factor (flags.hpp)")
+    p.add_argument("--disable_blending", action="store_true",
+                   help="render on black background instead of the frame")
+    p.add_argument("--output_resolution", default="-1x-1",
+                   help="final output frame size; -1x-1 = input size")
     p.add_argument("--part_to_show", type=int, default=0,
                    help="0=skeletons, 1..#parts=that part heatmap, "
                         "-1=all-part heatmap, -2=PAF field")
@@ -98,6 +147,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="render triangulated skeletons to a 3D video")
     p.add_argument("--display", type=int, default=0,
                    help="2 = OpenCV window (needs a display); 0 = headless")
+    p.add_argument("--fullscreen", action="store_true",
+                   help="start the GUI window fullscreen")
+    p.add_argument("--no_gui_verbose", action="store_true",
+                   help="do not burn the FPS/frame info text into GUI frames")
     p.add_argument("--cli_verbose", type=float, default=-1)
     p.add_argument("--max_frames", type=int, default=-1,
                    help="stop after N frames (benchmark/debug)")
@@ -117,13 +170,23 @@ def main(argv=None) -> int:
     from openpose_tpu.wrapper import (FaceConfig, HandConfig, PoseConfig,
                                       Wrapper)
 
+    if args.write_bvh or args.write_video_adam:
+        raise SystemExit(
+            "--write_bvh/--write_video_adam need the Adam body model, which "
+            "is not redistributable (the reference also gates them behind "
+            "USE_3D_ADAM_MODEL); 3-D output is available via --write_json "
+            "and --write_video_3d")
+
     producer = producers.create_producer(
         image_dir=args.image_dir or None, video=args.video or None,
         webcam=args.camera if args.camera >= 0 else None,
         ip_camera=args.ip_camera or None,
+        flir_camera=args.flir_camera,
+        camera_resolution=parse_resolution(args.camera_resolution),
         config=producers.ProducerConfig(
             frame_first=args.frame_first, frame_step=args.frame_step,
-            frame_last=args.frame_last, frame_flip=args.frame_flip,
+            frame_last=args.frame_last, frames_repeat=args.frames_repeat,
+            frame_flip=args.frame_flip,
             frame_rotate=args.frame_rotate, num_views=args.num_views,
             camera_parameter_path=args.camera_parameter_path or None,
             undistort=args.frame_undistort))
@@ -133,18 +196,34 @@ def main(argv=None) -> int:
             enable=bool(args.body),
             model=PoseModel(args.model_pose),
             net_resolution=parse_resolution(args.net_resolution),
+            # reference semantics: the dynamic clip applies to image inputs
+            # only (flags.hpp net_resolution_dynamic)
+            net_resolution_dynamic=(args.net_resolution_dynamic
+                                    if args.image_dir else -1.0),
             scale_number=args.scale_number, scale_gap=args.scale_gap,
             maximize_positives=args.maximize_positives,
             caffemodel=args.caffemodel_path or None,
+            model_folder=args.model_folder or None,
+            prototxt=args.prototxt_path or None,
             compute_dtype="float32" if args.fp32 else "bfloat16",
             number_people_max=args.number_people_max,
             render_threshold=args.render_threshold,
+            alpha_keypoint=args.alpha_pose,
+            blend_original=not args.disable_blending,
             tracking=args.tracking,
             part_candidates=args.part_candidates),
         face=FaceConfig(enable=args.face,
-                        caffemodel=args.face_caffemodel_path or None),
+                        caffemodel=args.face_caffemodel_path or None,
+                        net_resolution=parse_resolution(
+                            args.face_net_resolution)[1],
+                        render_threshold=args.face_render_threshold,
+                        alpha_keypoint=args.face_alpha_pose),
         hand=HandConfig(enable=args.hand,
                         caffemodel=args.hand_caffemodel_path or None,
+                        net_resolution=parse_resolution(
+                            args.hand_net_resolution)[1],
+                        render_threshold=args.hand_render_threshold,
+                        alpha_keypoint=args.hand_alpha_pose,
                         scale_number=args.hand_scale_number,
                         scale_range=args.hand_scale_range,
                         tracking=args.tracking > -1))
@@ -168,7 +247,8 @@ def main(argv=None) -> int:
                       ScaleMode.NetOutputResolution,
                       ScaleMode.OutputResolution, ScaleMode.ZeroToOne,
                       ScaleMode.PlusMinusOne][args.keypoint_scale]
-    image_saver = savers.ImageSaver(args.write_images) \
+    image_saver = savers.ImageSaver(args.write_images,
+                                    args.write_images_format) \
         if args.write_images else None
     video_saver = None
     if args.write_video:
@@ -179,7 +259,8 @@ def main(argv=None) -> int:
     coco_saver = json_io.CocoJsonSaver() if args.write_coco_json else None
     video3d_saver = savers.VideoSaver(args.write_video_3d, 15.0) \
         if args.write_video_3d else None
-    heatmap_saver = savers.HeatMapSaver(args.write_heatmaps) \
+    heatmap_saver = savers.HeatMapSaver(args.write_heatmaps,
+                                        args.write_heatmaps_format) \
         if args.write_heatmaps else None
     udp = savers.UdpSender(args.udp_host, args.udp_port) \
         if args.udp_host else None
@@ -189,6 +270,14 @@ def main(argv=None) -> int:
         from openpose_tpu.render.gui import Gui
         gui = Gui()
         gui.state.part_to_show = args.part_to_show
+        gui.state.fullscreen = args.fullscreen
+        # reference GuiInfoAdder runs by default with the GUI unless
+        # --no_gui_verbose
+        if not args.no_gui_verbose:
+            args.show_info = True
+    output_resolution = parse_resolution(args.output_resolution)
+    if args.process_real_time and args.fps_max <= 0:
+        args.fps_max = getattr(producer, "fps", -1.0)
 
     cameras = producer.cameras
     t_start = time.time()
@@ -225,7 +314,8 @@ def main(argv=None) -> int:
             h_img, w_img = views[0].image.shape[:2]
             plan = scaler_lib.extract_scales(
                 (w_img, h_img), wrapper.pose_cfg.net_resolution,
-                wrapper.pose_cfg.scale_number, wrapper.pose_cfg.scale_gap)
+                wrapper.pose_cfg.scale_number, wrapper.pose_cfg.scale_gap,
+                output_resolution=output_resolution)
             saved_kp = scaler_lib.keypoints_to_mode(
                 saved_kp, scale_mode, (w_img, h_img),
                 plan.net_input_sizes[0], plan.output_resolution)
@@ -263,6 +353,16 @@ def main(argv=None) -> int:
                 if args.heatmaps_add_PAFs:
                     chans.append(hm[..., n_parts + 1:])
                 hm = np.concatenate(chans, axis=-1)
+            if args.upsampling_ratio > 0:
+                # heatmaps come back at net-input resolution (8x the net
+                # output); a positive ratio rescales them to
+                # ratio x net-output size (flags.hpp upsampling_ratio)
+                import cv2
+                f = args.upsampling_ratio / 8.0
+                hm = cv2.resize(hm, None, fx=f, fy=f,
+                                interpolation=cv2.INTER_CUBIC)
+                if hm.ndim == 2:
+                    hm = hm[..., None]
             if args.heatmaps_scale == 0:
                 hm = np.clip(hm, -1.0, 1.0)
             elif args.heatmaps_scale == 1:
@@ -285,22 +385,24 @@ def main(argv=None) -> int:
                 if args.part_to_show == -2:
                     frame = hm_render.overlay_paf(
                         views[0].image.copy(), pred.heatmaps,
-                        wrapper.pose_cfg.model)
+                        wrapper.pose_cfg.model, alpha=args.alpha_heatmap)
                 else:
                     part = (args.part_to_show - 1
                             if args.part_to_show > 0 else -1)
                     frame = hm_render.overlay_heatmap(
-                        views[0].image.copy(), pred.heatmaps, part)
+                        views[0].image.copy(), pred.heatmaps, part,
+                        alpha=args.alpha_heatmap)
             elif args.render_pose:
-                if gui is not None and not gui.state.blend:
-                    black = datum.frame
-                    datum.frame = np.zeros_like(black)
-                    frame = wrapper.render(datum)
-                    datum.frame = black
-                else:
-                    frame = wrapper.render(datum)
+                if gui is not None:       # 'b' key toggles blending live
+                    wrapper.pose_cfg.blend_original = (
+                        gui.state.blend and not args.disable_blending)
+                frame = wrapper.render(datum)
             else:
                 frame = views[0].image
+            if output_resolution[0] > 0 and output_resolution[1] > 0:
+                import cv2
+                frame = cv2.resize(frame, output_resolution,
+                                   interpolation=cv2.INTER_CUBIC)
             if args.show_info:
                 from openpose_tpu.render.heatmaps import add_info_overlay
                 n_people = (0 if datum.pose_keypoints is None
@@ -331,7 +433,7 @@ def main(argv=None) -> int:
 
     if video_saver:
         video_saver.close()
-        if args.video:
+        if args.video and args.write_video_with_audio:
             video_saver.mux_audio_from(args.video)
     if video3d_saver is not None:
         video3d_saver.close()

@@ -38,6 +38,7 @@ class ProducerConfig:
     frame_first: int = 0
     frame_step: int = 1
     frame_last: int = -1          # -1 = until the end
+    frames_repeat: bool = False   # loop the source forever (--frames_repeat)
     frame_flip: bool = False
     frame_rotate: int = 0         # 0 / 90 / 180 / 270
     num_views: int = 1            # split horizontally-concatenated views
@@ -69,9 +70,21 @@ class Producer:
         return img
 
     def frames(self) -> Iterator[List[Frame]]:
-        """Yields one List[Frame] per time step (len == num_views)."""
-        c = self.config
+        """Yields one List[Frame] per time step (len == num_views);
+        loops forever when frames_repeat is set."""
         out_id = 0
+        while True:
+            yielded = False
+            for frames in self._one_pass(out_id):
+                yielded = True
+                yield frames
+                out_id = frames[0].frame_id + 1
+            if not self.config.frames_repeat or not yielded:
+                return
+
+    def _one_pass(self, start_id: int) -> Iterator[List[Frame]]:
+        c = self.config
+        out_id = start_id
         for raw_index, (img, name) in enumerate(self._raw_frames()):
             if raw_index < c.frame_first:
                 continue
@@ -132,6 +145,8 @@ class VideoReader(Producer):
 
     def _raw_frames(self):
         stem = pathlib.Path(self.path).stem
+        if not self.capture.isOpened():       # reopened for --frames_repeat
+            self.capture = cv2.VideoCapture(self.path)
         index = 0
         while True:
             ok, img = self.capture.read()
@@ -173,8 +188,18 @@ def create_producer(image_dir: Optional[str] = None,
                     video: Optional[str] = None,
                     webcam: Optional[int] = None,
                     ip_camera: Optional[str] = None,
+                    flir_camera: bool = False,
+                    camera_resolution: Tuple[int, int] = (-1, -1),
                     config: ProducerConfig = ProducerConfig()) -> Producer:
     """Factory (producer.cpp:411-460)."""
+    if flir_camera:
+        # The reference's FlirReader requires the proprietary Spinnaker SDK
+        # (src/openpose/producer/flirReader.cpp, spinnakerWrapper.cpp);
+        # hardware-synced capture is out of scope here. Multi-camera rigs are
+        # supported via --num_views on a stacked stream or per-view videos.
+        raise NotImplementedError(
+            "FLIR/Spinnaker capture is not supported; use --video/--ip_camera "
+            "with --num_views and --camera_parameter_path instead")
     if image_dir:
         return ImageDirectoryReader(image_dir, config)
     if video:
@@ -182,5 +207,6 @@ def create_producer(image_dir: Optional[str] = None,
     if ip_camera:
         return IpCameraReader(ip_camera, config)
     if webcam is not None:
-        return WebcamReader(webcam, config=config)
+        return WebcamReader(webcam, resolution=camera_resolution,
+                            config=config)
     raise ValueError("no input source given")

@@ -135,7 +135,8 @@ class PoseExtractor:
                 net_resolution: Tuple[int, int] = (-1, 368),
                 scale_number: int = 1, scale_gap: float = 0.25,
                 keep_heatmaps: bool = False,
-                net_output: Optional[np.ndarray] = None) -> PosePrediction:
+                net_output: Optional[np.ndarray] = None,
+                net_resolution_dynamic: float = -1.0) -> PosePrediction:
         """image: [H, W, 3] uint8/float BGR.
 
         net_output: optional [h/8, w/8, C] heatmap tensor that bypasses the
@@ -147,7 +148,8 @@ class PoseExtractor:
                 f"input image must be [H, W, 3] BGR, got shape {image.shape}")
         in_h, in_w = image.shape[:2]
         plan = scaler.extract_scales(
-            (in_w, in_h), net_resolution, scale_number, scale_gap)
+            (in_w, in_h), net_resolution, scale_number, scale_gap,
+            net_resolution_dynamic=net_resolution_dynamic)
 
         # scale_net_to_output (poseExtractorCaffe.cpp:306-311)
         net_out_w, net_out_h = plan.net_input_sizes[0]

@@ -50,15 +50,24 @@ class ScalePlan:
 def extract_scales(input_resolution: Tuple[int, int],
                    net_resolution: Tuple[int, int] = (-1, 368),
                    scale_number: int = 1, scale_gap: float = 0.25,
-                   output_resolution: Tuple[int, int] = (-1, -1)) -> ScalePlan:
+                   output_resolution: Tuple[int, int] = (-1, -1),
+                   net_resolution_dynamic: float = -1.0) -> ScalePlan:
     """input_resolution/net_resolution/output_resolution are (width, height);
-    -1 in net_resolution means 'derive from aspect ratio, multiple of 16'."""
+    -1 in net_resolution means 'derive from aspect ratio, multiple of 16'.
+    `net_resolution_dynamic` > 0 clips the derived width to
+    ratio * 656 * (net_h/368) to bound memory, like the reference flag
+    (include/openpose/flags.hpp net_resolution_dynamic,
+    scaleAndSizeExtractor.cpp)."""
     in_w, in_h = input_resolution
     net_w, net_h = net_resolution
     if net_w <= 0 and net_h <= 0:
         raise ValueError("only one net dimension may be -1")
     if net_w <= 0:
         net_w = 16 * _iround(net_h * in_w / in_h / 16.0)
+        if net_resolution_dynamic > 0:
+            cap = 16 * _iround(net_resolution_dynamic * 656.0
+                               * net_h / 368.0 / 16.0)
+            net_w = min(net_w, cap)
     elif net_h <= 0:
         net_h = 16 * _iround(net_w * in_h / in_w / 16.0)
 

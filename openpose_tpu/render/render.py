@@ -33,13 +33,19 @@ def render_keypoints(frame: np.ndarray, keypoints: np.ndarray,
                      colors: Sequence[Tuple[int, int, int]],
                      thickness_circle_ratio: float,
                      thickness_line_ratio: float = 0.75,
-                     threshold: float = 0.05) -> np.ndarray:
+                     threshold: float = 0.05,
+                     alpha: float = 1.0) -> np.ndarray:
     """Draw keypoints in place on a BGR uint8/float frame; returns frame.
 
     colors are (R, G, B) per part; drawn as BGR like the reference tables.
+    `alpha` blends the drawn skeleton with the underlying pixels (the
+    reference's alphaKeypoint / --alpha_pose, default 0.6 in flags.hpp but
+    1.0 here for opaque CPU-parity rendering unless requested).
     """
     if keypoints.size == 0:
         return frame
+    if alpha < 1.0:
+        base = frame.copy()
     height, width = frame.shape[:2]
     area = width * height
     n_colors = len(colors)
@@ -69,23 +75,29 @@ def render_keypoints(frame: np.ndarray, keypoints: np.ndarray,
                 cv2.circle(frame,
                            (int(kp[part, 0] + 0.5), int(kp[part, 1] + 0.5)),
                            radius, (bl, g, r), thickness_circle, lineType=8)
+    if alpha < 1.0:
+        # skeleton pixels = alpha*color + (1-alpha)*original; elsewhere the
+        # two frames agree, so a whole-frame weighted sum is the identity.
+        blended = cv2.addWeighted(frame, alpha, base, 1.0 - alpha, 0.0)
+        np.copyto(frame, blended)
     return frame
 
 
 def render_pose(frame: np.ndarray, pose_keypoints: np.ndarray,
                 model: PoseModel, threshold: float = 0.05,
-                blend_original: bool = True) -> np.ndarray:
+                blend_original: bool = True,
+                alpha: float = 1.0) -> np.ndarray:
     """renderPoseKeypointsCpu (renderPose.cpp:8-34)."""
     if not blend_original:
         frame = np.zeros_like(frame)
     info = POSE_MODEL_INFO[model]
     return render_keypoints(frame, pose_keypoints, info.render_pairs,
                             info.colors, thickness_circle_ratio=1.0 / 75.0,
-                            threshold=threshold)
+                            threshold=threshold, alpha=alpha)
 
 
 def render_face(frame: np.ndarray, face_keypoints: np.ndarray,
-                threshold: float = 0.4) -> np.ndarray:
+                threshold: float = 0.4, alpha: float = 1.0) -> np.ndarray:
     """Face: white dots, pair chain along the 70-point contour ordering
     (reference FACE_PAIRS_RENDER in include/openpose/face/faceParameters.hpp)."""
     pairs = []
@@ -102,7 +114,7 @@ def render_face(frame: np.ndarray, face_keypoints: np.ndarray,
     colors = [(255, 255, 255)] * 70
     return render_keypoints(frame, face_keypoints, pairs, colors,
                             thickness_circle_ratio=1.0 / 175.0,
-                            threshold=threshold)
+                            threshold=threshold, alpha=alpha)
 
 
 _HAND_PAIRS = []
@@ -119,10 +131,10 @@ _HAND_COLORS = [(100, 100, 100)] + sum(
 
 
 def render_hands(frame: np.ndarray, left: np.ndarray, right: np.ndarray,
-                 threshold: float = 0.2) -> np.ndarray:
+                 threshold: float = 0.2, alpha: float = 1.0) -> np.ndarray:
     for kp in (left, right):
         if kp is not None and kp.size:
             render_keypoints(frame, kp, _HAND_PAIRS, _HAND_COLORS,
                              thickness_circle_ratio=1.0 / 150.0,
-                             threshold=threshold)
+                             threshold=threshold, alpha=alpha)
     return frame

@@ -28,13 +28,20 @@ class PoseConfig:
     enable: bool = True
     model: PoseModel = PoseModel.BODY_25
     net_resolution: Tuple[int, int] = (-1, 368)   # (w, h); -1 = from aspect
+    net_resolution_dynamic: float = 1.0           # ~ --net_resolution_dynamic:
+                                                  # clip auto width to
+                                                  # ratio*656*(h/368); <=0 off
     scale_number: int = 1
     scale_gap: float = 0.25
     maximize_positives: bool = False
     caffemodel: Optional[str] = None              # converted weights source
+    model_folder: Optional[str] = None            # ~ --model_folder layout
+    prototxt: Optional[str] = None                # ~ --prototxt_path override
     compute_dtype: str = "bfloat16"
     number_people_max: int = -1                   # ~ --number_people_max
     render_threshold: float = 0.05
+    alpha_keypoint: float = 1.0                   # ~ --alpha_pose (blending)
+    blend_original: bool = True                   # ~ !--disable_blending
     tracking: int = -1                            # ~ --tracking: CNN every
                                                   # N+1 frames, LK in between
     part_candidates: bool = False                 # ~ --part_candidates
@@ -46,8 +53,10 @@ class FaceConfig:
 
     enable: bool = False
     caffemodel: Optional[str] = None
+    net_resolution: int = 368                     # ~ --face_net_resolution
     detector_threshold: float = 0.25
     render_threshold: float = 0.4
+    alpha_keypoint: float = 1.0                   # ~ --face_alpha_pose
 
 
 @dataclasses.dataclass
@@ -56,11 +65,13 @@ class HandConfig:
 
     enable: bool = False
     caffemodel: Optional[str] = None
+    net_resolution: int = 368                     # ~ --hand_net_resolution
     scale_number: int = 1
     scale_range: float = 0.4
     tracking: bool = False
     detector_threshold: float = 0.03
     render_threshold: float = 0.2
+    alpha_keypoint: float = 1.0                   # ~ --hand_alpha_pose
 
 
 @dataclasses.dataclass
@@ -107,7 +118,9 @@ class Wrapper:
         self._pose_tracker = None
         self._prev_pose_scores: Optional[np.ndarray] = None
         if pose.enable:
-            model = zoo.load_pose_model(pose.model, pose.caffemodel)
+            model = zoo.load_pose_model(pose.model, pose.caffemodel,
+                                        model_folder=pose.model_folder,
+                                        prototxt=pose.prototxt)
             self.pose_extractor = PoseExtractor(
                 model, maximize_positives=pose.maximize_positives,
                 compute_dtype=dtype)
@@ -117,11 +130,15 @@ class Wrapper:
         self.face_extractor: Optional[FaceExtractor] = None
         if face.enable:
             self.face_extractor = FaceExtractor(
-                zoo.load_face_model(face.caffemodel), compute_dtype=dtype)
+                zoo.load_face_model(face.caffemodel,
+                                    model_folder=pose.model_folder),
+                net_size=face.net_resolution, compute_dtype=dtype)
         self.hand_extractor: Optional[HandExtractor] = None
         if hand.enable:
             self.hand_extractor = HandExtractor(
-                zoo.load_hand_model(hand.caffemodel), compute_dtype=dtype,
+                zoo.load_hand_model(hand.caffemodel,
+                                    model_folder=pose.model_folder),
+                net_size=hand.net_resolution, compute_dtype=dtype,
                 scale_number=hand.scale_number, scale_range=hand.scale_range)
         self._prev_hand_rects: List = []
         # Body-free face detection falls back to the Haar cascade, like the
@@ -145,7 +162,8 @@ class Wrapper:
             if run_cnn:
                 pred = self.pose_extractor.forward(
                     image, self.pose_cfg.net_resolution,
-                    self.pose_cfg.scale_number, self.pose_cfg.scale_gap)
+                    self.pose_cfg.scale_number, self.pose_cfg.scale_gap,
+                    net_resolution_dynamic=self.pose_cfg.net_resolution_dynamic)
                 kp, sc = pred.keypoints, pred.scores
                 if self.pose_cfg.part_candidates and pred.peaks is not None:
                     # All NMS candidates per part, scaled to input pixels
@@ -208,17 +226,21 @@ class Wrapper:
     def render(self, datum: Datum) -> np.ndarray:
         """Overlay skeletons on a copy of the frame."""
         from openpose_tpu.render import render as r
-        frame = datum.frame.copy()
+        frame = (datum.frame.copy() if self.pose_cfg.blend_original
+                 else np.zeros_like(datum.frame))
         if datum.pose_keypoints is not None:
             r.render_pose(frame, datum.pose_keypoints, self.pose_cfg.model,
-                          self.pose_cfg.render_threshold)
+                          self.pose_cfg.render_threshold,
+                          alpha=self.pose_cfg.alpha_keypoint)
         if datum.face_keypoints is not None:
             r.render_face(frame, datum.face_keypoints,
-                          self.face_cfg.render_threshold)
+                          self.face_cfg.render_threshold,
+                          alpha=self.face_cfg.alpha_keypoint)
         if (datum.hand_left_keypoints is not None
                 or datum.hand_right_keypoints is not None):
             r.render_hands(frame, datum.hand_left_keypoints,
                            datum.hand_right_keypoints,
-                           self.hand_cfg.render_threshold)
+                           self.hand_cfg.render_threshold,
+                           alpha=self.hand_cfg.alpha_keypoint)
         datum.output_frame = frame
         return frame

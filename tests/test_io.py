@@ -152,3 +152,35 @@ class TestAsyncPipeline:
         pipe = AsyncPipeline(bad_producer(), lambda x: x, lambda x: None)
         with pytest.raises(RuntimeError, match="boom"):
             pipe.run()
+
+
+class TestProducerParityFlags:
+    def test_frames_repeat_loops_with_monotonic_ids(self, image_dir):
+        p = ImageDirectoryReader(image_dir, ProducerConfig(
+            frames_repeat=True))
+        got = []
+        for views in p.frames():
+            got.append(views[0].frame_id)
+            if len(got) >= 12:
+                break
+        assert got == list(range(12))  # 5 images looped 2.4x, ids monotonic
+
+    def test_flir_camera_unsupported(self):
+        with pytest.raises(NotImplementedError, match="Spinnaker"):
+            create_producer(flir_camera=True)
+
+
+class TestModelFolder:
+    def test_resolution_order(self, tmp_path):
+        from openpose_tpu.models import zoo
+        from openpose_tpu.params import PoseModel
+        rel = zoo.CAFFEMODEL_PATHS[PoseModel.BODY_25]
+        (tmp_path / rel).parent.mkdir(parents=True)
+        (tmp_path / rel).write_bytes(b"")
+        # explicit path wins over model_folder
+        assert zoo.resolve_caffemodel("/x.caffemodel", str(tmp_path), rel) \
+            == "/x.caffemodel"
+        got = zoo.resolve_caffemodel(None, str(tmp_path), rel)
+        assert got == str(tmp_path / rel)
+        # missing folder entry -> random-init (None)
+        assert zoo.resolve_caffemodel(None, str(tmp_path / "no"), rel) is None

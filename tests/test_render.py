@@ -92,3 +92,34 @@ class TestGui3D:
                                        out_path=out_path)
         assert img.ndim == 3 and img.shape[2] == 3
         assert (tmp_path / "skel.png").exists()
+
+
+class TestAlphaBlending:
+    def test_alpha_pose_blends_with_background(self):
+        kp = np.zeros((1, 25, 3), np.float32)
+        kp[0, :, 0] = np.linspace(20, 100, 25)
+        kp[0, :, 1] = np.linspace(20, 100, 25)
+        kp[0, :, 2] = 0.9
+        base = np.full((128, 128, 3), 255, np.uint8)
+        opaque = render.render_pose(base.copy(), kp, PoseModel.BODY_25)
+        blended = render.render_pose(base.copy(), kp, PoseModel.BODY_25,
+                                     alpha=0.5)
+        drawn = (opaque != 255).any(axis=-1)
+        assert drawn.any()
+        # untouched pixels identical; drawn pixels between color and white
+        assert (blended[~drawn] == 255).all()
+        assert (blended[drawn].astype(int) >= opaque[drawn].astype(int)).all()
+        assert (blended[drawn].astype(int) > opaque[drawn].astype(int)).any()
+
+    def test_disable_blending_black_background(self):
+        kp = np.zeros((1, 25, 3), np.float32)
+        kp[0, :, 0] = np.linspace(20, 100, 25)
+        kp[0, :, 1] = np.linspace(20, 100, 25)
+        kp[0, :, 2] = 0.9
+        base = np.full((128, 128, 3), 200, np.uint8)
+        out = render.render_pose(base, kp, PoseModel.BODY_25,
+                                 blend_original=False)
+        background = (out == 200).all(axis=-1)
+        assert not background.any()     # original pixels gone
+        assert out.sum() > 0            # skeleton drawn on black
+        assert (out == 0).all(axis=-1).mean() > 0.9  # mostly black canvas
