@@ -152,6 +152,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_gui_verbose", action="store_true",
                    help="do not burn the FPS/frame info text into GUI frames")
     p.add_argument("--cli_verbose", type=float, default=-1)
+    p.add_argument("--profile_speed", type=int, default=-1,
+                   help="print averaged per-stage ms every N frames "
+                        "(reference Profiler, --profile_speed)")
     p.add_argument("--max_frames", type=int, default=-1,
                    help="stop after N frames (benchmark/debug)")
     return p
@@ -279,6 +282,12 @@ def main(argv=None) -> int:
     if args.process_real_time and args.fps_max <= 0:
         args.fps_max = getattr(producer, "fps", -1.0)
 
+    profiler = None
+    if args.profile_speed > 0:
+        from openpose_tpu.utils.profiler import Profiler
+        profiler = Profiler(report_every=args.profile_speed)
+        wrapper.profiler = profiler   # per-stage pose/face/hand keys
+
     cameras = producer.cameras
     t_start = time.time()
     n_frames = 0
@@ -290,8 +299,12 @@ def main(argv=None) -> int:
         if gui is not None and gui.state.seek_delta > 0:
             gui.state.seek_delta -= 1
             continue                       # crude seek: skip frames forward
+        if profiler is not None:
+            profiler.timer_init("process")
         datums = [wrapper.process(f.image, f.frame_id, f.name)
                   for f in views]
+        if profiler is not None:
+            profiler.timer_end("process")
         datum = datums[0]
         if id_extractor is not None and datum.pose_keypoints is not None:
             datum.pose_ids = id_extractor.extract_ids(
@@ -444,6 +457,8 @@ def main(argv=None) -> int:
     if gui is not None:
         gui.close()
     dt = time.time() - t_start
+    if profiler is not None:
+        print(profiler.report())
     print(f"openpose_tpu: {n_frames} frames in {dt:.2f}s "
           f"({n_frames / max(dt, 1e-9):.2f} fps)")
     return 0

@@ -108,10 +108,14 @@ class Wrapper:
 
     def __init__(self, pose: PoseConfig = PoseConfig(),
                  face: FaceConfig = FaceConfig(),
-                 hand: HandConfig = HandConfig()):
+                 hand: HandConfig = HandConfig(),
+                 profiler=None):
         self.pose_cfg = pose
         self.face_cfg = face
         self.hand_cfg = hand
+        # per-stage keyed timers (reference Profiler wraps each worker's
+        # work(); include/openpose/utilities/profiler.hpp:66-100)
+        self.profiler = profiler
         dtype = jnp.bfloat16 if pose.compute_dtype == "bfloat16" else jnp.float32
 
         self.pose_extractor: Optional[PoseExtractor] = None
@@ -154,7 +158,10 @@ class Wrapper:
                 name: str = "") -> Datum:
         """Full cascade on one BGR frame."""
         datum = Datum(id=datum_id, name=name, frame=image)
+        prof = self.profiler
         if self.pose_extractor is not None:
+            if prof is not None:
+                prof.timer_init("pose")
             # Tracking stride (reference: poseExtractor.cpp:46-49): run the
             # CNN on every (tracking+1)-th frame, LK-propagate in between.
             run_cnn = (self._pose_tracker is None
@@ -190,6 +197,8 @@ class Wrapper:
                 order = np.argsort(-sc)[:nmax]   # KeepTopNPeople
                 kp, sc = kp[order], sc[order]
             datum.pose_keypoints, datum.pose_scores = kp, sc
+            if prof is not None:
+                prof.timer_end("pose")
 
         if self._haar_detector is not None and self.face_extractor is not None:
             rects = [tuple(r) for r in self._haar_detector.detect_faces(image)]
@@ -201,12 +210,18 @@ class Wrapper:
         people_kp = datum.pose_keypoints
         if people_kp is not None and people_kp.size:
             if self.face_extractor is not None:
+                if prof is not None:
+                    prof.timer_init("face")
                 datum.face_rectangles = detect_faces(
                     people_kp, self.pose_cfg.model,
                     self.face_cfg.detector_threshold)
                 datum.face_keypoints = self.face_extractor.forward(
                     image.astype(np.float32), datum.face_rectangles)
+                if prof is not None:
+                    prof.timer_end("face")
             if self.hand_extractor is not None:
+                if prof is not None:
+                    prof.timer_init("hand")
                 rects = detect_hands(people_kp, self.pose_cfg.model,
                                      self.hand_cfg.detector_threshold)
                 if self.hand_cfg.tracking and self._prev_hand_rects:
@@ -220,6 +235,8 @@ class Wrapper:
                 datum.hand_left_keypoints = left
                 datum.hand_right_keypoints = right
                 self._prev_hand_rects = rects
+                if prof is not None:
+                    prof.timer_end("hand")
         return datum
 
     # ------------------------------------------------------------------ #
