@@ -70,6 +70,17 @@ class ShardedPoseInference:
             return peaks, scores
 
         batch_sh = mesh_lib.batch_sharding(self.mesh)
+        if self.mesh.shape.get("model", 1) == 1:
+            # Pure data parallelism: shard_map makes every op shard-local by
+            # construction, so the compiled program is provably
+            # collective-free (GSPMD's conservative gather/top_k partitioning
+            # otherwise inserts all-gathers around the NMS compaction).
+            # scripts/analyze_scaling.py verifies this from the HLO.
+            run = jax.shard_map(
+                run, mesh=self.mesh,
+                in_specs=(P(), P("data")),
+                out_specs=(P("data"), P("data")),
+                check_vma=False)
         return jax.jit(run, in_shardings=(None, batch_sh),
                        out_shardings=(batch_sh, batch_sh))
 

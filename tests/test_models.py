@@ -106,3 +106,24 @@ class TestShardedInference:
         peaks1, scores1 = single(images)
         np.testing.assert_allclose(np.asarray(peaks), np.asarray(peaks1),
                                    atol=1e-4)
+
+    def test_data_parallel_is_collective_free(self):
+        """Scaling guarantee: the data-parallel inference program contains
+        zero cross-device collectives (throughput scales linearly with
+        chips; scripts/analyze_scaling.py prints the full report)."""
+        import re
+        from openpose_tpu.parallel.inference import ShardedPoseInference
+        from openpose_tpu.parallel import mesh as mesh_lib
+        devices = jax.devices()
+        if len(devices) < 2:
+            pytest.skip("needs multiple devices")
+        mesh = mesh_lib.make_mesh(devices[:4], model=1)
+        model = zoo.load_pose_model(PoseModel.MPI_15_4)
+        inf = ShardedPoseInference(model, mesh, net_hw=(64, 64),
+                                   max_peaks=16, compute_dtype=jnp.float32)
+        images = jax.device_put(jnp.zeros((4, 64, 64, 3), jnp.float32),
+                                mesh_lib.batch_sharding(mesh))
+        hlo = inf._fn.lower(inf.params, images).compile().as_text()
+        for op in ("all-reduce", "all-gather", "reduce-scatter",
+                   "collective-permute", "all-to-all"):
+            assert not re.search(rf"= \S+ {op}", hlo), f"found {op}"
