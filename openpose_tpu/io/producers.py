@@ -158,7 +158,11 @@ class VideoReader(Producer):
 
 
 class WebcamReader(Producer):
-    """Webcam / V4L index (webcamReader.cpp)."""
+    """Webcam / V4L index (webcamReader.cpp).
+
+    Like the reference, frames are pulled on a side thread into a 1-slot
+    buffer so the pipeline always consumes the FRESHEST frame instead of
+    OpenCV's stale internal queue (webcamReader.cpp bufferingThread)."""
 
     def __init__(self, index: int = 0, resolution: Tuple[int, int] = (-1, -1),
                  config: ProducerConfig = ProducerConfig()):
@@ -169,13 +173,38 @@ class WebcamReader(Producer):
         if resolution[0] > 0:
             self.capture.set(cv2.CAP_PROP_FRAME_WIDTH, resolution[0])
             self.capture.set(cv2.CAP_PROP_FRAME_HEIGHT, resolution[1])
+        import threading
+        self._lock = threading.Lock()
+        self._latest = None
+        self._stopped = False
+        self._thread = threading.Thread(target=self._buffer_loop, daemon=True)
+        self._thread.start()
 
-    def _raw_frames(self):
-        index = 0
-        while True:
+    def _buffer_loop(self):
+        while not self._stopped:
             ok, img = self.capture.read()
             if not ok:
+                self._stopped = True
                 break
+            with self._lock:
+                self._latest = img
+
+    def close(self) -> None:
+        self._stopped = True
+        self._thread.join(timeout=2.0)
+        self.capture.release()
+
+    def _raw_frames(self):
+        import time
+        index = 0
+        while True:
+            with self._lock:
+                img, self._latest = self._latest, None
+            if img is None:
+                if self._stopped:
+                    break
+                time.sleep(0.002)
+                continue
             yield img, f"webcam_{index:012d}"
             index += 1
 

@@ -184,3 +184,41 @@ class TestModelFolder:
         assert got == str(tmp_path / rel)
         # missing folder entry -> random-init (None)
         assert zoo.resolve_caffemodel(None, str(tmp_path / "no"), rel) is None
+
+
+class TestWebcamBuffering:
+    def test_side_thread_yields_fresh_frames(self, monkeypatch):
+        import itertools
+        import openpose_tpu.io.producers as prod
+
+        counter = itertools.count()
+
+        class FakeCapture:
+            def __init__(self, index):
+                self.opened = True
+            def isOpened(self):
+                return True
+            def set(self, *a):
+                pass
+            def read(self):
+                import time
+                time.sleep(0.005)        # ~200 fps fake camera pacing
+                i = next(counter)
+                if i >= 200:
+                    return False, None
+                return True, np.full((4, 4, 3), i % 256, np.uint8)
+            def release(self):
+                pass
+
+        monkeypatch.setattr(prod.cv2, "VideoCapture", FakeCapture)
+        cam = prod.WebcamReader(0)
+        got = []
+        for views in cam.frames():
+            got.append(int(views[0].image[0, 0, 0]))
+            if len(got) >= 5:
+                break
+        cam.close()
+        assert len(got) == 5
+        # freshest-frame semantics: values strictly increase (no stale
+        # frames), but may skip ahead while the consumer is busy
+        assert all(b > a for a, b in zip(got, got[1:])), got
