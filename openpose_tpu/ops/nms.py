@@ -42,33 +42,57 @@ def _shift2d(x: jax.Array, dy: int, dx: int, fill: jax.Array) -> jax.Array:
     return jnp.where(valid, shifted, fill)
 
 
-def _refine_at_peaks(heat_c: jax.Array, peak_idx: jax.Array, h: int, w: int,
+def _searchsorted_rows(cum: jax.Array, ranks: jax.Array) -> jax.Array:
+    """Per-row searchsorted-left of `ranks` [K] into monotone `cum` [..., S]:
+    first index where cum >= rank, computed as count of entries < rank —
+    a pure compare-and-reduce (no sort, no loop), ideal on the VPU."""
+    return jnp.sum(cum[..., None, :] < ranks[:, None], axis=-1)
+
+
+def _refine_at_peaks(heat: jax.Array, peak_idx: jax.Array,
                      offset: Tuple[float, float]
-                     ) -> Tuple[jax.Array, jax.Array]:
+                     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Sub-pixel refinement gathered only at the peak windows.
 
-    heat_c: [N, C, H*W]; peak_idx: [N, C, K] flat indices.  Returns refined
-    (x, y) [N, C, K].  Mirrors nmsAccuratePeakPosition (nmsBase.cpp:70-107):
-    score-weighted centroid of score>0 samples over the in-bounds part of the
-    7x7 window, plus the (+0.5, +0.5) offset.  Gathering 49 taps at <=K peaks
-    is ~200x less memory traffic than box-filtering the whole map.
+    heat: [N, H, W, C] (layout preserved — no full-map transpose);
+    peak_idx: [N, C, K] flat row-major indices.  Returns refined
+    (x, y, peak_value) [N, C, K].  Mirrors nmsAccuratePeakPosition
+    (nmsBase.cpp:70-107): score-weighted centroid of score>0 samples over
+    the in-bounds part of the 7x7 window, plus the (+0.5, +0.5) offset.
+
+    Gather shape matters enormously here: 49 independent element gathers per
+    peak cost ~3 ms/frame at batch 8 (TPU gathers of single f32s run on the
+    scalar path), and 7x7 tile gathers were no better.  Instead this fetches
+    the 7 FULL ROWS covering each window — W-contiguous vector loads — and
+    replaces the column selection with a masked reduction over x (|x - px|
+    <= 3), which rides the VPU.  Taps outside the true window mask to zero,
+    reproducing the reference's skipped out-of-bounds taps exactly.
     """
-    n, c, k = peak_idx.shape
+    n, h, w, c = heat.shape
+    k = peak_idx.shape[2]
     py = peak_idx // w                                   # [N,C,K]
     px = peak_idx % w
     d = jnp.arange(-3, 4, dtype=jnp.int32)
-    wy = py[..., None, None] + d[:, None]                # [N,C,K,7,1]
-    wx = px[..., None, None] + d[None, :]                # [N,C,K,1,7]
-    inside = (wy >= 0) & (wy < h) & (wx >= 0) & (wx < w)  # [N,C,K,7,7]
-    idx = (jnp.clip(wy, 0, h - 1) * w
-           + jnp.clip(wx, 0, w - 1)).reshape(n, c, -1)
-    vals = jnp.take_along_axis(heat_c, idx, axis=-1).reshape(n, c, k, 7, 7)
-    s = jnp.where(inside, jnp.maximum(vals, 0.0), 0.0)
+    wy = py[..., None] + d                               # [N,C,K,7]
+    row_ok = (wy >= 0) & (wy < h)
+    heat_nchw = heat.transpose(0, 3, 1, 2)               # [N,C,H,W], W minor
+    ri = jnp.clip(wy, 0, h - 1).reshape(n, c, k * 7)
+    rows = jnp.take_along_axis(
+        heat_nchw, ri[..., None], axis=2).reshape(n, c, k, 7, w)
+
+    xs = jnp.arange(w, dtype=jnp.int32)
+    mask_x = jnp.abs(xs - px[..., None]) <= 3            # [N,C,K,W]
+    s = jnp.where(mask_x[..., None, :] & row_ok[..., None],
+                  jnp.maximum(rows, 0.0), 0.0)           # [N,C,K,7,W]
     s_sum = s.sum(axis=(-1, -2))
     denom = jnp.where(s_sum > 0, s_sum, 1.0)
-    x_ref = (s * wx.astype(s.dtype)).sum(axis=(-1, -2)) / denom + offset[0]
-    y_ref = (s * wy.astype(s.dtype)).sum(axis=(-1, -2)) / denom + offset[1]
-    return x_ref, y_ref
+    x_ref = (s.sum(axis=-2) * xs).sum(axis=-1) / denom + offset[0]
+    y_ref = (s.sum(axis=-1) * wy.astype(s.dtype)).sum(axis=-1) / denom \
+        + offset[1]
+    center = (xs == px[..., None])[..., None, :] \
+        & (wy == py[..., None])[..., None]
+    value = jnp.sum(jnp.where(center, rows, 0.0), axis=(-1, -2))
+    return x_ref, y_ref, value
 
 
 @functools.partial(jax.jit, static_argnames=("max_peaks", "offset"))
@@ -98,12 +122,16 @@ def nms(heatmaps: jax.Array, threshold: jax.Array, max_peaks: int = 127,
     is_peak = (heat > thr) & ((interior & gt_all) | (inner & ge_all))
 
     # Compaction: first `max_peaks` peaks in row-major order per (n, c).
-    # Two-stage exact selection: a direct top_k over H*W elements is slow on
-    # TPU (O(k * n) partial-sort passes); instead reduce to candidate blocks
-    # first.  The first `max_peaks` peaks lie within the first <= max_peaks
-    # 128-pixel blocks that contain any peak, so selecting those blocks by
-    # their first-peak index (a cheap min-reduce) and running top_k on the
-    # gathered candidates is exact and ~15x less work.
+    # Sort-free exact selection (TPU sorts dominate everything else in this
+    # op: the old two-stage top_k cost ~3.5 ms/frame, ~10x the rest of NMS
+    # combined).  Peaks already appear in ascending flat-index order, so the
+    # k-th peak's position is searchsorted(cumsum(is_peak), k) — a monotone
+    # binary-search-free compare-and-count, no sort anywhere:
+    #   1. block stage: the first <= max_peaks peaks lie in the first
+    #      <= max_peaks 128-pixel blocks containing any peak; pick those
+    #      blocks by rank via searchsorted over the nonempty-block cumsum;
+    #   2. within the <= max_peaks*128 gathered candidates, pick the k-th
+    #      flagged entry the same way.
     flat_idx = (ys * w + xs).astype(jnp.int32)          # [1,H,W,1]
     big = jnp.int32(h * w)
     masked = jnp.where(is_peak, flat_idx, big)          # [N,H,W,C]
@@ -115,21 +143,27 @@ def nms(heatmaps: jax.Array, threshold: jax.Array, max_peaks: int = 127,
     blocks = padded.reshape(n, c, nb, bs)
     block_first = blocks.min(axis=-1)                   # [N,C,NB]
     k_blocks = min(max_peaks, nb)
-    neg_blk, blk_id = jax.lax.top_k(-block_first, k_blocks)
-    # blk_id ordered by ascending first-peak index; empty blocks sort last
+    ranks_b = jnp.arange(1, k_blocks + 1, dtype=jnp.int32)
+    cum_blocks = jnp.cumsum((block_first < big).astype(jnp.int32), axis=-1)
+    # first block index whose nonempty-rank reaches r, ascending by
+    # construction; rows with fewer nonempty blocks clamp to the last block
+    # (whose entries are `big` pads -> invalid downstream)
+    blk_id = jnp.minimum(_searchsorted_rows(cum_blocks, ranks_b), nb - 1)
     cand = jnp.take_along_axis(blocks, blk_id[..., None], axis=2)
     cand = cand.reshape(n, c, k_blocks * bs)
-    neg_topk, _ = jax.lax.top_k(-cand, max_peaks)       # ascending row-major idx
-    peak_idx = -neg_topk                                # [N,C,max_peaks]
+
+    ranks = jnp.arange(1, max_peaks + 1, dtype=jnp.int32)
+    cum = jnp.cumsum((cand < big).astype(jnp.int32), axis=-1)
+    pos = jnp.minimum(_searchsorted_rows(cum, ranks), k_blocks * bs - 1)
+    peak_idx = jnp.take_along_axis(cand, pos, axis=-1)  # [N,C,max_peaks]
     valid = peak_idx < big
     count = valid.sum(axis=-1).astype(jnp.float32)      # [N,C]
     peak_idx = jnp.where(valid, peak_idx, 0)
 
-    heat_c = heat.transpose(0, 3, 1, 2).reshape(n, c, h * w)
-    x_ref, y_ref = _refine_at_peaks(heat_c, peak_idx, h, w, offset)
+    x_ref, y_ref, value = _refine_at_peaks(heat, peak_idx, offset)
     px = jnp.where(valid, x_ref, 0.0)
     py = jnp.where(valid, y_ref, 0.0)
-    ps = jnp.where(valid, jnp.take_along_axis(heat_c, peak_idx, axis=-1), 0.0)
+    ps = jnp.where(valid, value, 0.0)
 
     peaks = jnp.stack([px, py, ps], axis=-1)            # [N,C,max_peaks,3]
     header = jnp.zeros((n, c, 1, 3), jnp.float32).at[:, :, 0, 0].set(count)
