@@ -27,8 +27,16 @@ pipeline and is excluded, matching how the reference reports GPU FPS.
 
 import json
 import sys
+import time
 
 import numpy as np
+
+_T0 = time.perf_counter()
+
+
+def _progress(msg: str) -> None:
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 def main() -> None:
@@ -40,6 +48,7 @@ def main() -> None:
     from openpose_tpu.params import POSE_MAX_PEOPLE, PoseModel
     from openpose_tpu.utils.benchmark import chain_ms
 
+    _progress('imports done; loading BODY_25')
     model = zoo.load_pose_model(PoseModel.BODY_25)
     info = model.info
     pairs_np, map_idx_np = paf.pair_tables(info)
@@ -67,6 +76,7 @@ def main() -> None:
         jnp.asarray(kp), pairs, map_idx, (net_h, net_w), num_parts,
         info.heatmap_channels)
     synth = jax.block_until_ready(synth)
+    _progress('synthetic targets ready')
 
     def step_net(c):
         img = images + c * 1e-12
@@ -90,8 +100,11 @@ def main() -> None:
         peaks, scores = _post(synth + c * 1e-12, fast_peaks=0)
         return c + peaks[0, 0, 0, 0] * 1e-12 + scores[0, 0, 0, 0] * 1e-12
 
+    _progress('timing net forward chain')
     net_ms = chain_ms(step_net)
+    _progress(f'net {net_ms:.1f} ms/iter; timing post chain')
     post_ms = chain_ms(step_post)
+    _progress(f'post {post_ms:.1f} ms/iter; timing worst-case post chain')
     worst_ms = chain_ms(step_post_worst, n_lo=2, n_hi=8)
 
     frame_ms = (net_ms + post_ms) / batch
