@@ -110,8 +110,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--write_video_with_audio", action="store_true",
                    help="remux the source audio track into --write_video")
     p.add_argument("--write_bvh", default="",
-                   help="unsupported: requires the non-redistributable Adam "
-                        "model (reference gates it behind USE_3D_ADAM_MODEL)")
+                   help="export the triangulated 3-D skeleton as a BVH "
+                        "animation (rig derived from keypoints; the reference "
+                        "instead requires the Adam model)")
     p.add_argument("--write_video_adam", default="",
                    help="unsupported: requires the Adam model (see "
                         "--write_bvh)")
@@ -173,12 +174,14 @@ def main(argv=None) -> int:
     from openpose_tpu.wrapper import (FaceConfig, HandConfig, PoseConfig,
                                       Wrapper)
 
-    if args.write_bvh or args.write_video_adam:
+    if args.write_video_adam:
         raise SystemExit(
-            "--write_bvh/--write_video_adam need the Adam body model, which "
-            "is not redistributable (the reference also gates them behind "
-            "USE_3D_ADAM_MODEL); 3-D output is available via --write_json "
-            "and --write_video_3d")
+            "--write_video_adam needs the Adam body model, which is not "
+            "redistributable (the reference also gates it behind "
+            "USE_3D_ADAM_MODEL); 3-D output is available via --write_json, "
+            "--write_bvh and --write_video_3d")
+    if args.write_bvh and not args.threed:
+        raise SystemExit("--write_bvh requires --3d (triangulated keypoints)")
 
     producer = producers.create_producer(
         image_dir=args.image_dir or None, video=args.video or None,
@@ -262,6 +265,11 @@ def main(argv=None) -> int:
     coco_saver = json_io.CocoJsonSaver() if args.write_coco_json else None
     video3d_saver = savers.VideoSaver(args.write_video_3d, 15.0) \
         if args.write_video_3d else None
+    bvh_saver = None
+    if args.write_bvh:
+        from openpose_tpu.io.bvh import BvhSaver
+        bvh_saver = BvhSaver(args.write_bvh, PoseModel(args.model_pose),
+                             fps=getattr(producer, "fps", 30.0) or 30.0)
     heatmap_saver = savers.HeatMapSaver(args.write_heatmaps,
                                         args.write_heatmaps_format) \
         if args.write_heatmaps else None
@@ -381,6 +389,8 @@ def main(argv=None) -> int:
             elif args.heatmaps_scale == 1:
                 hm = np.clip((hm + 1.0) / 2.0, 0.0, 1.0)
             heatmap_saver.save(hm, name)
+        if bvh_saver is not None:
+            bvh_saver.add_frame(datum.pose_keypoints_3d)
         if video3d_saver is not None and datum.pose_keypoints_3d is not None:
             from openpose_tpu.render.gui3d import render_skeleton_3d
             img3d = render_skeleton_3d(datum.pose_keypoints_3d,
@@ -450,6 +460,8 @@ def main(argv=None) -> int:
             video_saver.mux_audio_from(args.video)
     if video3d_saver is not None:
         video3d_saver.close()
+    if bvh_saver is not None:
+        bvh_saver.save()
     if coco_saver is not None:
         coco_saver.save(args.write_coco_json)
     if udp is not None:
