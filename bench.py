@@ -42,6 +42,8 @@ def _progress(msg: str) -> None:
 def main() -> None:
     import jax
     import jax.numpy as jnp
+    from openpose_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     from openpose_tpu import train
     from openpose_tpu.models import graph, zoo
     from openpose_tpu.ops import nms, paf, resize
