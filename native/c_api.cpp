@@ -32,7 +32,11 @@ namespace {
 
 std::mutex g_err_mutex;
 std::string g_last_error;
-bool g_we_initialized = false;
+std::once_flag g_init_once;
+int g_init_rc = 0;
+// op_last_error() hands out a pointer that must outlive concurrent
+// set_error() calls; each thread gets its own stable snapshot buffer.
+thread_local std::string g_last_error_snapshot;
 
 void set_error(const std::string& msg) {
     std::lock_guard<std::mutex> lock(g_err_mutex);
@@ -94,24 +98,31 @@ PyObject* call_capi(const char* fn, PyObject* args) {
 extern "C" {
 
 // Start an interpreter if none is running. Returns 0 on success. Optional:
-// every other entry point calls it implicitly.
+// every other entry point calls it implicitly. std::call_once serializes
+// concurrent first calls from non-Python threads (two racing
+// Py_InitializeEx calls are UB).
 int op_initialize(void) {
-    if (Py_IsInitialized()) return 0;
-    Py_InitializeEx(0);
-    if (!Py_IsInitialized()) {
-        set_error("op_initialize: Py_InitializeEx failed");
-        return 1;
-    }
-    g_we_initialized = true;
-    // Release the GIL acquired by Py_InitializeEx so PyGILState_Ensure
-    // works from any caller thread.
-    PyEval_SaveThread();
-    return 0;
+    std::call_once(g_init_once, []() {
+        if (Py_IsInitialized()) return;  // embedded in a Python host
+        Py_InitializeEx(0);
+        if (!Py_IsInitialized()) {
+            set_error("op_initialize: Py_InitializeEx failed");
+            g_init_rc = 1;
+            return;
+        }
+        // Release the GIL acquired by Py_InitializeEx so PyGILState_Ensure
+        // works from any caller thread.
+        PyEval_SaveThread();
+    });
+    return g_init_rc;
 }
 
+// Valid until this thread's next op_* call (thread-local snapshot; a
+// concurrent set_error from another thread cannot invalidate it).
 const char* op_last_error(void) {
     std::lock_guard<std::mutex> lock(g_err_mutex);
-    return g_last_error.c_str();
+    g_last_error_snapshot = g_last_error;
+    return g_last_error_snapshot.c_str();
 }
 
 // Create a pipeline from a JSON config (see capi.py for keys).

@@ -21,7 +21,15 @@ import numpy as np
 
 _LOCK = threading.Lock()
 _HANDLES: Dict[int, "object"] = {}
+# The C header advertises any-thread calls; Wrapper.process/render mutate
+# per-handle state (tracker, _prev_hand_rects), so serialize per handle.
+_HANDLE_LOCKS: Dict[int, threading.Lock] = {}
 _NEXT_ID = [1]
+
+
+def _get(handle: int) -> Tuple["object", threading.Lock]:
+    with _LOCK:
+        return _HANDLES[handle], _HANDLE_LOCKS[handle]
 
 
 def create(config_json: str) -> int:
@@ -61,6 +69,7 @@ def create(config_json: str) -> int:
         handle = _NEXT_ID[0]
         _NEXT_ID[0] += 1
         _HANDLES[handle] = wrapper
+        _HANDLE_LOCKS[handle] = threading.Lock()
     return handle
 
 
@@ -71,10 +80,10 @@ def process(handle: int, image_bytes: bytes, height: int, width: int,
     Returns (keypoints_f32_bytes, num_people, num_parts); keypoints are
     (x, y, score) triples, people-major.
     """
-    with _LOCK:
-        wrapper = _HANDLES[handle]
+    wrapper, lock = _get(handle)
     image = np.frombuffer(image_bytes, np.uint8).reshape(height, width, 3)
-    datum = wrapper.process(image, frame_id)
+    with lock:
+        datum = wrapper.process(image, frame_id)
     kp = datum.pose_keypoints
     if kp is None or kp.size == 0:
         return b"", 0, 0
@@ -85,14 +94,15 @@ def process(handle: int, image_bytes: bytes, height: int, width: int,
 def render(handle: int, image_bytes: bytes, height: int, width: int,
            frame_id: int = 0) -> bytes:
     """Like process() but returns the rendered overlay frame (uint8 BGR)."""
-    with _LOCK:
-        wrapper = _HANDLES[handle]
+    wrapper, lock = _get(handle)
     image = np.frombuffer(image_bytes, np.uint8).reshape(height, width, 3)
-    datum = wrapper.process(image, frame_id)
-    out = wrapper.render(datum)
+    with lock:
+        datum = wrapper.process(image, frame_id)
+        out = wrapper.render(datum)
     return np.ascontiguousarray(out, np.uint8).tobytes()
 
 
 def destroy(handle: int) -> None:
     with _LOCK:
         _HANDLES.pop(handle, None)
+        _HANDLE_LOCKS.pop(handle, None)

@@ -71,15 +71,25 @@ def build_parser() -> argparse.ArgumentParser:
                         "synchronously on one thread")
     # Face / hand
     p.add_argument("--face", action="store_true")
+    p.add_argument("--face_detector", type=int, default=0,
+                   help="0=body geometry, 1=OpenCV Haar cascade, "
+                        "2=user-provided rectangles (flags.hpp:143)")
     p.add_argument("--face_caffemodel_path", default="")
     p.add_argument("--face_net_resolution", default="368x368")
     p.add_argument("--face_render_threshold", type=float, default=0.4)
+    p.add_argument("--face_render", type=int, default=-1,
+                   help="-1=follow --render_pose, 0=no face rendering")
     p.add_argument("--face_alpha_pose", type=float, default=0.6)
     p.add_argument("--face_alpha_heatmap", type=float, default=0.7)
     p.add_argument("--hand", action="store_true")
+    p.add_argument("--hand_detector", type=int, default=0,
+                   help="0=body geometry, 2=user-provided rectangles, "
+                        "3=body geometry + inter-frame tracking")
     p.add_argument("--hand_caffemodel_path", default="")
     p.add_argument("--hand_net_resolution", default="368x368")
     p.add_argument("--hand_render_threshold", type=float, default=0.2)
+    p.add_argument("--hand_render", type=int, default=-1,
+                   help="-1=follow --render_pose, 0=no hand rendering")
     p.add_argument("--hand_alpha_pose", type=float, default=0.6)
     p.add_argument("--hand_alpha_heatmap", type=float, default=0.7)
     p.add_argument("--hand_scale_number", type=int, default=1)
@@ -91,6 +101,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--threed", "--3d", dest="threed", action="store_true")
     p.add_argument("--threed_min_views", "--3d_min_views",
                    dest="threed_min_views", type=int, default=-1)
+    p.add_argument("--threed_views", "--3d_views", dest="threed_views",
+                   type=int, default=-1,
+                   help="images per iteration for --image_dir/--video "
+                        "multi-view input (flags.hpp 3d_views; alias of "
+                        "--num_views)")
     # Output
     p.add_argument("--keypoint_scale", type=int, default=0,
                    help="0=input res, 1=net output res, 2=output res, "
@@ -153,17 +168,163 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_gui_verbose", action="store_true",
                    help="do not burn the FPS/frame info text into GUI frames")
     p.add_argument("--cli_verbose", type=float, default=-1)
+    p.add_argument("--logging_level", type=int, default=3,
+                   help="0 logs every op_log() message .. 4 only important, "
+                        "255 none (flags.hpp:19)")
     p.add_argument("--profile_speed", type=int, default=-1,
                    help="print averaged per-stage ms every N frames "
                         "(reference Profiler, --profile_speed)")
     p.add_argument("--max_frames", type=int, default=-1,
                    help="stop after N frames (benchmark/debug)")
+    p.add_argument("--batch", type=int, default=0,
+                   help="frames per device batch for the high-throughput "
+                        "path (0 = auto: 8 when eligible). The batched "
+                        "pipeline (native decode pool -> one jitted sharded "
+                        "program -> threaded assembly) engages for "
+                        "--image_dir/--video runs that only need keypoint "
+                        "outputs; 1 forces the synchronous per-frame path")
     return p
 
 
 def parse_resolution(text: str):
     w, h = text.lower().split("x")
     return (int(w), int(h))
+
+
+def fast_path_eligible(args) -> bool:
+    """True when the batched pipeline can serve this invocation.
+
+    The high-throughput path (NativeFramePump -> ShardedPoseInference ->
+    threaded assembly, openpose_tpu/runtime/video_runner.py) covers body-only
+    keypoint extraction from files; anything needing per-frame host frames
+    (rendering, GUI), the extra cascades, or real-time pacing falls back to
+    the synchronous per-frame loop.
+    """
+    if args.batch == 1:
+        return False
+    if not (args.image_dir or args.video):
+        return False
+    if (args.write_images or args.write_video or args.display
+            or args.part_to_show != 0 or args.show_info
+            or args.write_heatmaps or args.write_video_3d or args.write_bvh):
+        return False
+    if (args.face or args.hand or args.threed or args.tracking >= 0
+            or args.identification or args.part_candidates
+            or args.num_views > 1 or args.frames_repeat
+            or args.process_real_time or args.fps_max > 0
+            or args.scale_number > 1 or args.frame_flip
+            or args.frame_rotate or args.frame_undistort
+            or args.keypoint_scale != 0 or args.udp_host
+            or not args.body):
+        return False
+    if args.video and args.frame_first > 0:
+        return False
+    from openpose_tpu.io.native_loader import available
+    return available()
+
+
+def run_fast_path(args) -> int:
+    """Batched disk -> JSON pipeline: the reference's multi-GPU worker graph
+    (configureThreadManager, wrapperAuxiliary.hpp:991-1217) as one jitted
+    data-parallel program fed by the C++ decode pool."""
+    import pathlib as _pathlib
+
+    from openpose_tpu.io import json_io, producers, savers
+    from openpose_tpu.models import zoo
+    from openpose_tpu.params import PoseModel, default_connect_params
+    from openpose_tpu.parallel.inference import ShardedPoseInference
+    from openpose_tpu.pose.extractor import PoseExtractor
+    from openpose_tpu.runtime.video_runner import VideoRunner
+    import jax.numpy as jnp
+
+    batch = args.batch if args.batch > 1 else 8
+    net_w, net_h = parse_resolution(args.net_resolution)
+    if net_w <= 0:
+        # default -1x368 -> the reference's 656x368 headline geometry;
+        # otherwise scale the width by the same 16:9-ish ratio, x16 aligned
+        net_w = int(round(net_h * 656.0 / 368.0 / 16.0)) * 16
+
+    model = zoo.load_pose_model(
+        PoseModel(args.model_pose), args.caffemodel_path or None,
+        model_folder=args.model_folder or None,
+        prototxt=args.prototxt_path or None)
+    cp = default_connect_params(PoseModel(args.model_pose),
+                                args.maximize_positives)
+    inference = ShardedPoseInference(
+        model, net_hw=(net_h, net_w),
+        nms_threshold=cp.nms_threshold,
+        inter_threshold=cp.inter_threshold,
+        inter_min_above_threshold=cp.inter_min_above_threshold,
+        compute_dtype=jnp.float32 if args.fp32 else jnp.bfloat16)
+    extractor = PoseExtractor(model,
+                              maximize_positives=args.maximize_positives)
+    # batch must tile the mesh data axis
+    dp = inference.data_parallelism
+    batch = -(-batch // dp) * dp
+    runner = VideoRunner(inference, extractor, batch_size=batch)
+
+    json_dir = _pathlib.Path(args.write_json) if args.write_json else None
+    if json_dir:
+        json_dir.mkdir(parents=True, exist_ok=True)
+    keypoint_saver = savers.KeypointSaver(
+        args.write_keypoint, args.write_keypoint_format) \
+        if args.write_keypoint else None
+    coco_saver = json_io.CocoJsonSaver() if args.write_coco_json else None
+
+    names = {}
+
+    def on_result(res):
+        kp, sc = res.keypoints, res.scores
+        nmax = args.number_people_max
+        if nmax > 0 and kp.shape[0] > nmax:
+            order = np.argsort(-sc)[:nmax]          # KeepTopNPeople
+            kp, sc = kp[order], sc[order]
+        name = names.get(res.index, f"{res.index:012d}")
+        if json_dir is not None:
+            json_io.save_people_json(
+                str(json_dir / f"{name}_keypoints.json"), pose_keypoints=kp)
+        if keypoint_saver is not None:
+            keypoint_saver.save([kp], name, "pose")
+        if coco_saver is not None and kp.size:
+            coco_saver.record(kp, sc, json_io.image_id_from_name(name))
+        if args.cli_verbose > 0 \
+                and (res.index + 1) % max(int(args.cli_verbose), 1) == 0:
+            print(f"Processed {res.index + 1} frames")
+
+    t0 = time.time()
+    if args.image_dir:
+        paths = sorted(
+            p for p in _pathlib.Path(args.image_dir).iterdir()
+            if p.suffix.lower() in producers.IMAGE_EXTENSIONS)
+        last = args.frame_last if args.frame_last >= 0 else len(paths) - 1
+        paths = paths[args.frame_first:last + 1:args.frame_step]
+        if args.max_frames >= 0:
+            paths = paths[:args.max_frames]
+        names.update({i: p.stem for i, p in enumerate(paths)})
+        results = runner.run_files([str(p) for p in paths],
+                                   on_result=on_result)
+    else:
+        stem = _pathlib.Path(args.video).stem
+        names = _NameByIndex(stem)
+        results = runner.run_video(args.video, frame_step=args.frame_step,
+                                   max_frames=args.max_frames,
+                                   on_result=on_result)
+    dt = time.time() - t0
+    if coco_saver is not None:
+        coco_saver.save(args.write_coco_json)
+    n = len(results)
+    print(f"openpose_tpu: {n} frames in {dt:.2f}s "
+          f"({n / max(dt, 1e-9):.2f} fps) [batched pipeline, batch={batch}]")
+    return 0
+
+
+class _NameByIndex(dict):
+    def __init__(self, stem):
+        super().__init__()
+        self._stem = stem
+
+    def get(self, idx, default=None):
+        return f"{self._stem}_{idx:012d}"
 
 
 def main(argv=None) -> int:
@@ -182,6 +343,23 @@ def main(argv=None) -> int:
             "--write_bvh and --write_video_3d")
     if args.write_bvh and not args.threed:
         raise SystemExit("--write_bvh requires --3d (triangulated keypoints)")
+    if args.threed_views > 1:           # flags.hpp 3d_views == num_views here
+        args.num_views = args.threed_views
+    if args.write_bvh and (args.num_views <= 1
+                           or not args.camera_parameter_path):
+        # triangulation needs >=2 calibrated views; a single camera would
+        # silently write an all-zero animation
+        raise SystemExit(
+            "--write_bvh requires multi-view input with calibration "
+            "(--num_views > 1 and --camera_parameter_path) so 3-D keypoints "
+            "can be triangulated")
+    from openpose_tpu.utils.logging import Priority, set_priority_threshold
+    set_priority_threshold(
+        Priority.NO_OUTPUT if args.logging_level >= 5
+        else Priority(args.logging_level))
+
+    if fast_path_eligible(args):
+        return run_fast_path(args)
 
     producer = producers.create_producer(
         image_dir=args.image_dir or None, video=args.video or None,
@@ -222,13 +400,17 @@ def main(argv=None) -> int:
                         caffemodel=args.face_caffemodel_path or None,
                         net_resolution=parse_resolution(
                             args.face_net_resolution)[1],
+                        detector=args.face_detector,
                         render_threshold=args.face_render_threshold,
+                        render=args.face_render,
                         alpha_keypoint=args.face_alpha_pose),
         hand=HandConfig(enable=args.hand,
                         caffemodel=args.hand_caffemodel_path or None,
                         net_resolution=parse_resolution(
                             args.hand_net_resolution)[1],
+                        detector=args.hand_detector,
                         render_threshold=args.hand_render_threshold,
+                        render=args.hand_render,
                         alpha_keypoint=args.hand_alpha_pose,
                         scale_number=args.hand_scale_number,
                         scale_range=args.hand_scale_range,
@@ -304,12 +486,22 @@ def main(argv=None) -> int:
             break
         if gui is not None and not gui.state.running:
             break
-        if gui is not None and gui.state.seek_delta > 0:
-            gui.state.seek_delta -= 1
-            continue                       # crude seek: skip frames forward
+        if gui is not None and gui.state.seek_delta:
+            # bidirectional seek (gui.cpp spVideoSeek atomics): seekable
+            # producers jump; others can only skip forward
+            delta = gui.state.seek_delta
+            gui.state.seek_delta = 0
+            if not producer.request_seek(delta) and delta > 0:
+                gui.state.seek_delta = delta - 1
+                continue
+        # one CNN forward per frame: heatmap consumers reuse the primary
+        # pass's merged output (datum.heatmaps) instead of re-running the net
+        needs_heatmaps = bool(args.write_heatmaps) or args.part_to_show != 0 \
+            or (gui is not None and gui.state.part_to_show != 0)
         if profiler is not None:
             profiler.timer_init("process")
-        datums = [wrapper.process(f.image, f.frame_id, f.name)
+        datums = [wrapper.process(f.image, f.frame_id, f.name,
+                                  keep_heatmaps=needs_heatmaps)
                   for f in views]
         if profiler is not None:
             profiler.timer_end("process")
@@ -356,12 +548,8 @@ def main(argv=None) -> int:
                 and datum.pose_keypoints.size:
             coco_saver.record(datum.pose_keypoints, datum.pose_scores,
                               json_io.image_id_from_name(name))
-        if heatmap_saver is not None:
-            pred = wrapper.pose_extractor.forward(
-                views[0].image, wrapper.pose_cfg.net_resolution,
-                wrapper.pose_cfg.scale_number, wrapper.pose_cfg.scale_gap,
-                keep_heatmaps=True)
-            hm = pred.heatmaps
+        if heatmap_saver is not None and datum.heatmaps is not None:
+            hm = datum.heatmaps          # primary pass output, no re-forward
             n_parts = wrapper.pose_extractor.info.num_parts
             any_select = (args.heatmaps_add_parts or args.heatmaps_add_bkg
                           or args.heatmaps_add_PAFs)
@@ -399,21 +587,17 @@ def main(argv=None) -> int:
         if image_saver or video_saver or args.display:
             if gui is not None:
                 args.part_to_show = gui.state.part_to_show
-            if args.part_to_show != 0:
+            if args.part_to_show != 0 and datum.heatmaps is not None:
                 from openpose_tpu.render import heatmaps as hm_render
-                pred = wrapper.pose_extractor.forward(
-                    views[0].image, wrapper.pose_cfg.net_resolution,
-                    wrapper.pose_cfg.scale_number,
-                    wrapper.pose_cfg.scale_gap, keep_heatmaps=True)
                 if args.part_to_show == -2:
                     frame = hm_render.overlay_paf(
-                        views[0].image.copy(), pred.heatmaps,
+                        views[0].image.copy(), datum.heatmaps,
                         wrapper.pose_cfg.model, alpha=args.alpha_heatmap)
                 else:
                     part = (args.part_to_show - 1
                             if args.part_to_show > 0 else -1)
                     frame = hm_render.overlay_heatmap(
-                        views[0].image.copy(), pred.heatmaps, part,
+                        views[0].image.copy(), datum.heatmaps, part,
                         alpha=args.alpha_heatmap)
             elif args.render_pose:
                 if gui is not None:       # 'b' key toggles blending live

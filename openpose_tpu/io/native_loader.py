@@ -14,15 +14,19 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-_LIB_PATH = (pathlib.Path(__file__).resolve().parents[2]
-             / "native" / "libframe_pump.so")
+from openpose_tpu.utils.native_build import ensure_built
+
 _lib = None
 
 
 def _load():
     global _lib
     if _lib is None:
-        lib = ctypes.CDLL(str(_LIB_PATH))
+        path = ensure_built("libframe_pump.so")
+        if path is None:
+            raise RuntimeError("native frame pump build failed: "
+                               + ensure_built.last_error)
+        lib = ctypes.CDLL(str(path))
         lib.fp_create.restype = ctypes.c_void_p
         lib.fp_create.argtypes = [ctypes.c_int] * 4
         lib.fp_submit_file.restype = ctypes.c_long
@@ -57,7 +61,7 @@ def _load():
 
 
 def available() -> bool:
-    return _LIB_PATH.exists()
+    return ensure_built("libframe_pump.so") is not None
 
 
 class NativeFramePump:

@@ -49,11 +49,23 @@ class ProducerConfig:
 class Producer:
     """Base: applies windowing/flip/rotate/split to a raw frame stream."""
 
+    seekable = False
+
     def __init__(self, config: ProducerConfig = ProducerConfig()):
         self.config = config
         self.cameras: List[CameraParameters] = []
+        self._pending_seek = 0
         if config.camera_parameter_path:
             self.cameras = read_camera_directory(config.camera_parameter_path)
+
+    def request_seek(self, delta: int) -> bool:
+        """Jump delta frames (either direction) at the next read; the GUI's
+        l/k seek (reference gui.cpp spVideoSeek atomics).  Returns False for
+        non-seekable sources (webcam/IP streams)."""
+        if not self.seekable:
+            return False
+        self._pending_seek += delta
+        return True
 
     def _raw_frames(self) -> Iterator[Tuple[np.ndarray, str]]:
         raise NotImplementedError
@@ -114,6 +126,8 @@ class ImageDirectoryReader(Producer):
     """Sorted image files; carries the stem as output name
     (src/openpose/producer/imageDirectoryReader.cpp)."""
 
+    seekable = True
+
     def __init__(self, directory: str,
                  config: ProducerConfig = ProducerConfig()):
         super().__init__(config)
@@ -124,15 +138,24 @@ class ImageDirectoryReader(Producer):
             raise ValueError(f"no images found in {directory}")
 
     def _raw_frames(self):
-        for p in self.paths:
+        i = 0
+        while i < len(self.paths):
+            if self._pending_seek:
+                i = int(np.clip(i + self._pending_seek, 0,
+                                len(self.paths) - 1))
+                self._pending_seek = 0
+            p = self.paths[i]
             img = cv2.imread(str(p))
             if img is None:
                 raise IOError(f"could not read image {p}")
             yield img, p.stem
+            i += 1
 
 
 class VideoReader(Producer):
     """cv::VideoCapture file wrapper (videoReader.cpp)."""
+
+    seekable = True
 
     def __init__(self, path: str, config: ProducerConfig = ProducerConfig()):
         super().__init__(config)
@@ -149,6 +172,14 @@ class VideoReader(Producer):
             self.capture = cv2.VideoCapture(self.path)
         index = 0
         while True:
+            if self._pending_seek:
+                pos = self.capture.get(cv2.CAP_PROP_POS_FRAMES)
+                hi = (self.frame_count - 1 if self.frame_count > 0
+                      else pos + self._pending_seek)
+                self.capture.set(cv2.CAP_PROP_POS_FRAMES,
+                                 float(np.clip(pos + self._pending_seek,
+                                               0, hi)))
+                self._pending_seek = 0
             ok, img = self.capture.read()
             if not ok:
                 break
@@ -211,6 +242,8 @@ class WebcamReader(Producer):
 
 class IpCameraReader(VideoReader):
     """RTSP/HTTP stream (ipCameraReader.cpp) — same VideoCapture path."""
+
+    seekable = False                    # live stream: no random access
 
 
 def create_producer(image_dir: Optional[str] = None,

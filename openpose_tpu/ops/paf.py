@@ -166,6 +166,9 @@ def _use_pallas_default() -> bool:
 
 @functools.partial(jax.jit,
                    static_argnames=("target_hw", "scale_ratios",
+                                    "inter_threshold",
+                                    "inter_min_above_threshold",
+                                    "default_nms_threshold",
                                     "use_pallas", "fast_peaks", "precision"))
 def paf_scores_multiscale(
         sources: Sequence[jax.Array], scale_ratios: Tuple[float, ...],
@@ -199,6 +202,10 @@ def paf_scores_multiscale(
     max_peaks = peaks.shape[2] - 1
     if isinstance(fast_peaks, int):
         fast_peaks = (fast_peaks,) if fast_peaks > 0 else ()
+    if use_pallas:
+        # The fused kernel skips invalid A-rows dynamically (per pair, per
+        # frame), which strictly dominates the whole-batch tier ladder.
+        fast_peaks = ()
     tiers = tuple(k for k in sorted(fast_peaks) if 0 < k < max_peaks)
 
     def impl(pk):
@@ -233,6 +240,15 @@ def _multiscale_impl(
         sources, scale_ratios, target_hw, peaks, pairs, map_idx,
         inter_threshold, inter_min_above_threshold, default_nms_threshold,
         use_pallas, precision=None) -> jax.Array:
+    if use_pallas:
+        # Fully-fused kernel: geometry + sampling + finalize in VMEM, invalid
+        # A-rows skipped dynamically (ops/paf_pallas.py paf_scores_fused).
+        from openpose_tpu.ops.paf_pallas import paf_scores_fused
+        return paf_scores_fused(
+            sources, scale_ratios, target_hw, peaks, pairs, map_idx,
+            float(inter_threshold), float(inter_min_above_threshold),
+            float(default_nms_threshold), precision=precision,
+            interpret=jax.default_backend() != "tpu")
     th, tw = target_hw
     geo = _line_geometry(peaks, pairs, (th, tw))
     n, p = geo["mx"].shape[:2]
@@ -253,35 +269,28 @@ def _multiscale_impl(
         low_xy = jnp.stack([chans[:, map_idx[:, 0]],
                             chans[:, map_idx[:, 1]]], axis=2)
 
-        if use_pallas:
-            from openpose_tpu.ops.paf_pallas import sample_bicubic_pallas
-            vx, vy = jax.vmap(
-                lambda lo, m, x: sample_bicubic_pallas(
-                    lo, m, x, scale_h, scale_w,
-                    precision=precision))(low_xy, my, mx)
-        else:
-            def per_pair(args, scale_h=scale_h, scale_w=scale_w,
-                         hs=hs, ws=ws):
-                # Blocked over pairs: the [S, taps] weight matrices for one
-                # pair stay ~50 MB instead of P x that.
-                lxy, my_p, mx_p = args                # [N,2,hs,ws], [N,S]
-                wrow = _tap_matrix(my_p, hs, scale_h)  # [N, S, hs]
-                wcol = _tap_matrix(mx_p, ws, scale_w)  # [N, S, ws]
-                tx = jnp.einsum("nsh,nhw->nsw", wrow, lxy[:, 0],
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.HIGHEST)
-                ty = jnp.einsum("nsh,nhw->nsw", wrow, lxy[:, 1],
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.HIGHEST)
-                return (jnp.sum(tx * wcol, axis=-1),   # [N, S]
-                        jnp.sum(ty * wcol, axis=-1))
+        def per_pair(args, scale_h=scale_h, scale_w=scale_w,
+                     hs=hs, ws=ws):
+            # Blocked over pairs: the [S, taps] weight matrices for one
+            # pair stay ~50 MB instead of P x that.
+            lxy, my_p, mx_p = args                # [N,2,hs,ws], [N,S]
+            wrow = _tap_matrix(my_p, hs, scale_h)  # [N, S, hs]
+            wcol = _tap_matrix(mx_p, ws, scale_w)  # [N, S, ws]
+            tx = jnp.einsum("nsh,nhw->nsw", wrow, lxy[:, 0],
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+            ty = jnp.einsum("nsh,nhw->nsw", wrow, lxy[:, 1],
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+            return (jnp.sum(tx * wcol, axis=-1),   # [N, S]
+                    jnp.sum(ty * wcol, axis=-1))
 
-            vx, vy = jax.lax.map(
-                per_pair, (low_xy.transpose(1, 0, 2, 3, 4),
-                           my.transpose(1, 0, 2),
-                           mx.transpose(1, 0, 2)))     # [P, N, S]
-            vx = vx.transpose(1, 0, 2)
-            vy = vy.transpose(1, 0, 2)
+        vx, vy = jax.lax.map(
+            per_pair, (low_xy.transpose(1, 0, 2, 3, 4),
+                       my.transpose(1, 0, 2),
+                       mx.transpose(1, 0, 2)))     # [P, N, S]
+        vx = vx.transpose(1, 0, 2)
+        vy = vy.transpose(1, 0, 2)
         acc_x = vx if acc_x is None else acc_x + vx
         acc_y = vy if acc_y is None else acc_y + vy
     inv = 1.0 / len(sources)

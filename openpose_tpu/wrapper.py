@@ -54,8 +54,14 @@ class FaceConfig:
     enable: bool = False
     caffemodel: Optional[str] = None
     net_resolution: int = 368                     # ~ --face_net_resolution
+    # ~ --face_detector (flags.hpp:143): 0 body-keypoint geometry,
+    # 1 OpenCV Haar cascade, 2 rectangles provided by the caller
+    # (process(face_rectangles=...)), 3 invalid for face
+    detector: int = 0
     detector_threshold: float = 0.25
     render_threshold: float = 0.4
+    # ~ --face_render: -1 follow render_pose, 0 none, >0 render
+    render: int = -1
     alpha_keypoint: float = 1.0                   # ~ --face_alpha_pose
 
 
@@ -69,8 +75,13 @@ class HandConfig:
     scale_number: int = 1
     scale_range: float = 0.4
     tracking: bool = False
+    # ~ --hand_detector: 0 body geometry, 2 provided rectangles,
+    # 3 body geometry + previous-frame tracking (same as tracking=True)
+    detector: int = 0
     detector_threshold: float = 0.03
     render_threshold: float = 0.2
+    # ~ --hand_render: -1 follow render_pose, 0 none, >0 render
+    render: int = -1
     alpha_keypoint: float = 1.0                   # ~ --hand_alpha_pose
 
 
@@ -145,18 +156,29 @@ class Wrapper:
                 net_size=hand.net_resolution, compute_dtype=dtype,
                 scale_number=hand.scale_number, scale_range=hand.scale_range)
         self._prev_hand_rects: List = []
-        # Body-free face detection falls back to the Haar cascade, like the
-        # reference (FaceDetectorOpenCV when !poseEnabled,
-        # include/openpose/wrapper/wrapperAuxiliary.hpp face-detector choice).
+        # Haar-cascade face detection: explicit --face_detector 1, or the
+        # reference's automatic fallback when body is disabled
+        # (FaceDetectorOpenCV, wrapperAuxiliary.hpp face-detector choice).
         self._haar_detector = None
-        if face.enable and not pose.enable:
+        if face.enable and (face.detector == 1 or not pose.enable):
             from openpose_tpu.face.haar import FaceDetectorOpenCV
             self._haar_detector = FaceDetectorOpenCV()
+        if hand.detector == 3:              # flags.hpp:146 hand tracking mode
+            self.hand_cfg.tracking = True
 
     # ------------------------------------------------------------------ #
     def process(self, image: np.ndarray, datum_id: int = 0,
-                name: str = "") -> Datum:
-        """Full cascade on one BGR frame."""
+                name: str = "", keep_heatmaps: bool = False,
+                face_rectangles: Optional[List] = None,
+                hand_rectangles: Optional[List] = None) -> Datum:
+        """Full cascade on one BGR frame.
+
+        keep_heatmaps: expose the merged net output on datum.heatmaps (the
+        reference's --heatmaps_add_* copy-out) at zero extra device cost.
+        face_rectangles / hand_rectangles: caller-provided detections for
+        detector mode 2 (the reference's Datum::faceRectangles /
+        handRectangles injection, e.g. examples 07/08).
+        """
         datum = Datum(id=datum_id, name=name, frame=image)
         prof = self.profiler
         if self.pose_extractor is not None:
@@ -170,8 +192,11 @@ class Wrapper:
                 pred = self.pose_extractor.forward(
                     image, self.pose_cfg.net_resolution,
                     self.pose_cfg.scale_number, self.pose_cfg.scale_gap,
+                    keep_heatmaps=keep_heatmaps,
                     net_resolution_dynamic=self.pose_cfg.net_resolution_dynamic)
                 kp, sc = pred.keypoints, pred.scores
+                if keep_heatmaps:
+                    datum.heatmaps = pred.heatmaps
                 if self.pose_cfg.part_candidates and pred.peaks is not None:
                     # All NMS candidates per part, scaled to input pixels
                     # (reference: --part_candidates, poseExtractorNet
@@ -200,16 +225,34 @@ class Wrapper:
             if prof is not None:
                 prof.timer_end("pose")
 
-        if self._haar_detector is not None and self.face_extractor is not None:
+        # Detector mode 2: rectangles provided by the caller.
+        if self.face_extractor is not None and self.face_cfg.detector == 2:
+            rects = [tuple(r) for r in (face_rectangles or [])]
+            datum.face_rectangles = rects
+            if rects:
+                datum.face_keypoints = self.face_extractor.forward(
+                    image.astype(np.float32), rects)
+        elif self._haar_detector is not None \
+                and self.face_extractor is not None:
             rects = [tuple(r) for r in self._haar_detector.detect_faces(image)]
             datum.face_rectangles = rects
             if rects:
                 datum.face_keypoints = self.face_extractor.forward(
                     image.astype(np.float32), rects)
 
+        if self.hand_extractor is not None and self.hand_cfg.detector == 2:
+            rects = [tuple(r) for r in (hand_rectangles or [])]
+            datum.hand_rectangles = rects
+            if rects:
+                left, right = self.hand_extractor.forward(
+                    image.astype(np.float32), rects)
+                datum.hand_left_keypoints = left
+                datum.hand_right_keypoints = right
+
         people_kp = datum.pose_keypoints
         if people_kp is not None and people_kp.size:
-            if self.face_extractor is not None:
+            if self.face_extractor is not None and self.face_cfg.detector == 0 \
+                    and self._haar_detector is None:
                 if prof is not None:
                     prof.timer_init("face")
                 datum.face_rectangles = detect_faces(
@@ -219,7 +262,8 @@ class Wrapper:
                     image.astype(np.float32), datum.face_rectangles)
                 if prof is not None:
                     prof.timer_end("face")
-            if self.hand_extractor is not None:
+            if self.hand_extractor is not None \
+                    and self.hand_cfg.detector in (0, 3):
                 if prof is not None:
                     prof.timer_init("hand")
                 rects = detect_hands(people_kp, self.pose_cfg.model,
@@ -249,12 +293,15 @@ class Wrapper:
             r.render_pose(frame, datum.pose_keypoints, self.pose_cfg.model,
                           self.pose_cfg.render_threshold,
                           alpha=self.pose_cfg.alpha_keypoint)
-        if datum.face_keypoints is not None:
+        # face_render / hand_render: -1 follows the pose render mode, 0 off
+        # (flags.hpp:211,217)
+        if datum.face_keypoints is not None and self.face_cfg.render != 0:
             r.render_face(frame, datum.face_keypoints,
                           self.face_cfg.render_threshold,
                           alpha=self.face_cfg.alpha_keypoint)
         if (datum.hand_left_keypoints is not None
-                or datum.hand_right_keypoints is not None):
+                or datum.hand_right_keypoints is not None) \
+                and self.hand_cfg.render != 0:
             r.render_hands(frame, datum.hand_left_keypoints,
                            datum.hand_right_keypoints,
                            self.hand_cfg.render_threshold,

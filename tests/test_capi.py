@@ -13,14 +13,14 @@ import os
 import numpy as np
 import pytest
 
-_LIB = os.path.join(os.path.dirname(__file__), "..", "native",
-                    "libopenpose_capi.so")
-
-
 @pytest.fixture(scope="module")
 def capi():
-    if not os.path.exists(_LIB):
-        pytest.skip("libopenpose_capi.so not built (make -C native)")
+    from openpose_tpu.utils.native_build import ensure_built
+    path = ensure_built("libopenpose_capi.so")
+    if path is None:
+        pytest.skip("libopenpose_capi.so build failed (make -C native): "
+                    + ensure_built.last_error)
+    _LIB = str(path)
     # Warm sys.modules so the embedded PyImport_ImportModule bypasses
     # pytest's assertion-rewriting meta-path hook.
     import openpose_tpu.capi  # noqa: F401

@@ -222,3 +222,50 @@ class TestWebcamBuffering:
         # freshest-frame semantics: values strictly increase (no stale
         # frames), but may skip ahead while the consumer is busy
         assert all(b > a for a, b in zip(got, got[1:])), got
+
+
+class TestProducerSeek:
+    """Bidirectional seek (reference gui.cpp spVideoSeek): request_seek jumps
+    the read position at the next frame fetch."""
+
+    def test_image_dir_seek_back_and_forth(self, image_dir):
+        p = ImageDirectoryReader(image_dir)
+        it = p.frames()
+        assert next(it)[0].name == "frame_000"
+        assert p.request_seek(2)            # skip 001, 002
+        assert next(it)[0].name == "frame_003"
+        assert p.request_seek(-3)           # back to 001
+        assert next(it)[0].name == "frame_001"
+
+    def test_image_dir_seek_clamps(self, image_dir):
+        p = ImageDirectoryReader(image_dir)
+        it = p.frames()
+        next(it)
+        p.request_seek(-100)
+        assert next(it)[0].name == "frame_000"
+        p.request_seek(100)
+        assert next(it)[0].name == "frame_004"
+
+    def test_video_seek(self, tmp_path, image_dir):
+        import cv2
+        vid = str(tmp_path / "v.avi")
+        w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"MJPG"), 10,
+                            (60, 40))
+        for i in range(8):
+            w.write(np.full((40, 60, 3), i * 30, np.uint8))
+        w.release()
+        p = VideoReader(vid)
+        assert p.seekable
+        it = p.frames()
+        f0 = next(it)[0]
+        assert p.request_seek(3)
+        f4 = next(it)[0]
+        # frame 0 then frame 4 (pixel value 4*30=120 vs 0)
+        assert int(f4.image.mean()) > int(f0.image.mean()) + 60
+        assert p.request_seek(-4)
+        f1 = next(it)[0]
+        assert int(f1.image.mean()) < int(f4.image.mean())
+
+    def test_stream_not_seekable(self, monkeypatch):
+        from openpose_tpu.io.producers import IpCameraReader
+        assert IpCameraReader.seekable is False

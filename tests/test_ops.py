@@ -279,3 +279,66 @@ class TestPafMultiscale:
             jnp.asarray(peaks), jnp.asarray(pairs), jnp.asarray(map_idx),
             0.05, 0.5, 0.05))
         np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
+class TestPafFused:
+    """Fused pallas kernel (geometry+sampling+finalize) == XLA backend."""
+
+    def _scene(self, counts, max_peaks, seed=3, near_pair=False):
+        rng = np.random.RandomState(seed)
+        n_parts = len(counts)
+        c = n_parts + 1 + 6
+        hs, ws = 11, 15
+        th, tw = hs * 8, ws * 8
+        src = rng.uniform(-1, 1, (2, hs, ws, c)).astype(np.float32)
+        peaks = np.zeros((2, n_parts, max_peaks + 1, 3), np.float32)
+        for b in range(2):
+            for part, cnt in enumerate(counts):
+                peaks[b, part, 0, 0] = cnt
+                for k in range(cnt):
+                    peaks[b, part, k + 1] = (rng.uniform(1, tw - 2),
+                                             rng.uniform(1, th - 2),
+                                             rng.uniform(0.1, 1.0))
+        if near_pair:
+            # close-keypoint fallback: |AB| < sqrt(W*H)/150
+            peaks[0, 1, 1, :2] = peaks[0, 0, 1, :2] + 0.3
+        pairs = np.array([[0, 1], [1, 2], [2, 0]], np.int32)
+        map_idx = np.array([[n_parts + 1, n_parts + 2],
+                            [n_parts + 3, n_parts + 4],
+                            [n_parts + 1, n_parts + 4]], np.int32)
+        return src, peaks, pairs, map_idx, (th, tw)
+
+    @pytest.mark.parametrize("counts,near", [
+        ([4, 3, 2], False),          # typical sparse
+        ([4, 3, 2], True),           # close-keypoint fallback branch
+        ([12, 12, 12], False),       # saturated (== max_peaks)
+        ([0, 3, 2], False),          # empty part
+    ])
+    def test_fused_matches_xla(self, counts, near):
+        import jax
+        src, peaks, pairs, map_idx, hw = self._scene(counts, 12,
+                                                     near_pair=near)
+        args = ((jnp.asarray(src),), (1.0,), hw, jnp.asarray(peaks),
+                jnp.asarray(pairs), jnp.asarray(map_idx), 0.05, 0.5, 0.05)
+        want = np.asarray(paf.paf_scores_multiscale(
+            *args, fast_peaks=0, use_pallas=False))
+        got = np.asarray(paf.paf_scores_multiscale(
+            *args, fast_peaks=0, use_pallas=True,
+            precision=jax.lax.Precision.HIGHEST))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_fused_multiscale(self):
+        import jax
+        rng = np.random.RandomState(11)
+        src, peaks, pairs, map_idx, hw = self._scene([5, 4, 3], 8)
+        src2 = rng.uniform(-1, 1, (2, 8, 11, src.shape[-1])) \
+            .astype(np.float32)
+        args = ((jnp.asarray(src), jnp.asarray(src2)), (1.0, 0.73), hw,
+                jnp.asarray(peaks), jnp.asarray(pairs),
+                jnp.asarray(map_idx), 0.05, 0.5, 0.05)
+        want = np.asarray(paf.paf_scores_multiscale(
+            *args, fast_peaks=0, use_pallas=False))
+        got = np.asarray(paf.paf_scores_multiscale(
+            *args, fast_peaks=0, use_pallas=True,
+            precision=jax.lax.Precision.HIGHEST))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
