@@ -329,6 +329,8 @@ class _NameByIndex(dict):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from openpose_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
     from openpose_tpu.io import json_io, producers, savers
     from openpose_tpu.params import PoseModel
