@@ -3,16 +3,18 @@
 // TPU-native counterpart of the reference's C++ producer + threading runtime
 // (src/openpose/producer/*, include/openpose/thread/threadManager.hpp): a
 // worker pool decodes images (file or in-memory JPEG), applies the
-// aspect-preserving resize + VGG normalization (resizeFixedAspectRatio +
-// uCharCvMatToFloatPtr semantics, src/openpose/utilities/openCvPrivate.cpp:34
-// and openCv.cpp:57), and emits ready-to-upload float32 NHWC net inputs in
-// SUBMISSION ORDER (the WQueueOrderer role) — all outside the Python GIL.
+// aspect-preserving resize (resizeFixedAspectRatio,
+// src/openpose/utilities/openCvPrivate.cpp:34), and emits ready-to-upload
+// uint8 NHWC net inputs in SUBMISSION ORDER (the WQueueOrderer role) — all
+// outside the Python GIL.  VGG normalization (x/256 - 0.5, openCv.cpp:57)
+// happens on-device, fused by XLA into the first conv: shipping uint8
+// instead of float32 quarters host->device transfer volume.
 //
 // C ABI for ctypes:
 //   fp_create(threads, capacity, net_w, net_h) -> handle
 //   fp_submit_file(h, path)            -> seq id (or -1)
 //   fp_submit_bytes(h, data, len)      -> seq id (or -1)
-//   fp_next(h, out_float32, scale_out, wh_out, timeout_ms) -> seq id / -1
+//   fp_next(h, out_uint8, scale_out, wh_out, timeout_ms) -> seq id / -1
 //   fp_pending(h)                      -> #items submitted but not popped
 //   fp_destroy(h)
 //
@@ -41,7 +43,7 @@ struct Job {
 };
 
 struct Result {
-    std::vector<float> data;    // [net_h, net_w, 3] BGR, x/256 - 0.5
+    std::vector<unsigned char> data;  // [net_h, net_w, 3] BGR uint8
     double scale;               // input -> net scale factor
     int src_w, src_h;
     bool ok;
@@ -79,7 +81,8 @@ class FramePump {
     }
 
     // Pops the next result in submission order; returns seq or -1 on timeout.
-    long next(float* out, double* scale_out, int* wh_out, int timeout_ms) {
+    long next(unsigned char* out, double* scale_out, int* wh_out,
+              int timeout_ms) {
         std::unique_lock<std::mutex> lock(mutex_);
         const bool got = cv_results_.wait_for(
             lock, std::chrono::milliseconds(timeout_ms), [this] {
@@ -95,7 +98,7 @@ class FramePump {
         cv_space_.notify_one();
         if (!res.ok)
             return -2;
-        std::memcpy(out, res.data.data(), res.data.size() * sizeof(float));
+        std::memcpy(out, res.data.data(), res.data.size());
         if (scale_out) *scale_out = res.scale;
         if (wh_out) { wh_out[0] = res.src_w; wh_out[1] = res.src_h; }
         return seq;
@@ -168,13 +171,9 @@ class FramePump {
         cv::warpAffine(img, resized, m, cv::Size(net_w_, net_h_),
                        (scale > 1. ? cv::INTER_CUBIC : cv::INTER_AREA),
                        cv::BORDER_CONSTANT, cv::Scalar(0, 0, 0));
-        // HWC uint8 -> HWC float, x/256 - 0.5 (NHWC stays TPU-native)
-        res.data.resize((size_t)net_h_ * net_w_ * 3);
-        const unsigned char* src = resized.data;
-        float* dst = res.data.data();
-        const size_t n = res.data.size();
-        for (size_t i = 0; i < n; ++i)
-            dst[i] = src[i] * (1.f / 256.f) - 0.5f;
+        // HWC uint8, NHWC stays TPU-native; normalization is on-device
+        res.data.assign(resized.data,
+                        resized.data + (size_t)net_h_ * net_w_ * 3);
         res.ok = true;
         return res;
     }
@@ -234,8 +233,8 @@ class VideoPump {
     int srcH() const { return src_h_; }
 
     // Returns seq >= 0 with net input + original frame; -1 timeout; -3 EOF.
-    long next(float* net_out, unsigned char* frame_out, double* scale_out,
-              int timeout_ms) {
+    long next(unsigned char* net_out, unsigned char* frame_out,
+              double* scale_out, int timeout_ms) {
         std::unique_lock<std::mutex> lock(mutex_);
         const bool got = cv_results_.wait_for(
             lock, std::chrono::milliseconds(timeout_ms), [this] {
@@ -250,7 +249,7 @@ class VideoPump {
         in_flight_--;
         lock.unlock();
         cv_space_.notify_one();
-        std::memcpy(net_out, it.net.data(), it.net.size() * sizeof(float));
+        std::memcpy(net_out, it.net.data(), it.net.size());
         std::memcpy(frame_out, it.frame.data, it.frame.total() * 3);
         if (scale_out) *scale_out = it.scale;
         return seq;
@@ -259,7 +258,7 @@ class VideoPump {
   private:
     struct Item {
         cv::Mat frame;
-        std::vector<float> net;
+        std::vector<unsigned char> net;
         double scale;
     };
 
@@ -314,11 +313,8 @@ class VideoPump {
             cv::warpAffine(it.frame, resized, m, cv::Size(net_w_, net_h_),
                            (it.scale > 1. ? cv::INTER_CUBIC : cv::INTER_AREA),
                            cv::BORDER_CONSTANT, cv::Scalar(0, 0, 0));
-            it.net.resize((size_t)net_h_ * net_w_ * 3);
-            const unsigned char* src = resized.data;
-            float* dst = it.net.data();
-            for (size_t i = 0; i < it.net.size(); ++i)
-                dst[i] = src[i] * (1.f / 256.f) - 0.5f;
+            it.net.assign(resized.data,
+                          resized.data + (size_t)net_h_ * net_w_ * 3);
             {
                 std::lock_guard<std::mutex> lock(mutex_);
                 results_[job.first] = std::move(it);
@@ -360,7 +356,7 @@ void* vp_create(const char* path, int threads, int capacity,
     return vp;
 }
 
-long vp_next(void* handle, float* net_out, unsigned char* frame_out,
+long vp_next(void* handle, unsigned char* net_out, unsigned char* frame_out,
              double* scale_out, int timeout_ms) {
     return static_cast<VideoPump*>(handle)->next(net_out, frame_out,
                                                  scale_out, timeout_ms);
@@ -395,8 +391,8 @@ long fp_submit_bytes(void* handle, const unsigned char* data, int len) {
     return static_cast<FramePump*>(handle)->submitBytes(data, len);
 }
 
-long fp_next(void* handle, float* out, double* scale_out, int* wh_out,
-             int timeout_ms) {
+long fp_next(void* handle, unsigned char* out, double* scale_out,
+             int* wh_out, int timeout_ms) {
     return static_cast<FramePump*>(handle)->next(out, scale_out, wh_out,
                                                  timeout_ms);
 }

@@ -1,8 +1,9 @@
 """ctypes binding for the native frame pump (native/frame_pump.cpp).
 
-A GIL-free worker pool that decodes + preprocesses frames into float32 NHWC
+A GIL-free worker pool that decodes + preprocesses frames into uint8 NHWC
 net inputs in submission order (the reference's producer + WQueueOrderer
-roles in C++).  Falls back cleanly: `available()` is False when the shared
+roles in C++).  Normalization (x/256 - 0.5) happens on-device so the
+host->device upload is 4x smaller.  Falls back cleanly: `available()` is False when the shared
 library has not been built (`make -C native`).
 """
 
@@ -36,7 +37,7 @@ def _load():
                                         ctypes.c_int]
         lib.fp_next.restype = ctypes.c_long
         lib.fp_next.argtypes = [
-            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte),
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
             ctypes.c_int]
         lib.fp_pending.restype = ctypes.c_long
@@ -46,7 +47,7 @@ def _load():
         lib.vp_create.argtypes = [ctypes.c_char_p] + [ctypes.c_int] * 5
         lib.vp_next.restype = ctypes.c_long
         lib.vp_next.argtypes = [
-            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte),
             ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_double),
             ctypes.c_int]
         lib.vp_fps.restype = ctypes.c_double
@@ -82,13 +83,13 @@ class NativeFramePump:
 
     def next(self, timeout_ms: int = 10000
              ) -> Optional[Tuple[int, np.ndarray, float, Tuple[int, int]]]:
-        """-> (seq, net_input [net_h, net_w, 3] f32 normalized, scale,
+        """-> (seq, net_input [net_h, net_w, 3] BGR uint8, scale,
         (src_w, src_h)) or None on timeout; raises on decode failure."""
-        out = np.empty((self.net_h, self.net_w, 3), np.float32)
+        out = np.empty((self.net_h, self.net_w, 3), np.uint8)
         scale = ctypes.c_double()
         wh = (ctypes.c_int * 2)()
         seq = self._lib.fp_next(
-            self._handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
             ctypes.byref(scale), wh, timeout_ms)
         if seq == -1:
             return None
@@ -115,7 +116,7 @@ class NativeVideoPump:
     """Native video decode + parallel preprocessing, frame order preserved
     (VideoCaptureReader + WDatumProducer roles in C++;
     native/frame_pump.cpp VideoPump).  Emits (seq, original BGR frame,
-    normalized net input, scale)."""
+    uint8 net input, scale)."""
 
     def __init__(self, path: str, net_w: int, net_h: int, threads: int = 3,
                  capacity: int = 16, frame_step: int = 1):
@@ -135,13 +136,13 @@ class NativeVideoPump:
 
     def next(self, timeout_ms: int = 10000
              ) -> Optional[Tuple[int, np.ndarray, np.ndarray, float]]:
-        """-> (seq, frame BGR uint8, net_input f32, scale); None at EOF."""
-        net = np.empty((self.net_h, self.net_w, 3), np.float32)
+        """-> (seq, frame BGR uint8, net_input uint8, scale); None at EOF."""
+        net = np.empty((self.net_h, self.net_w, 3), np.uint8)
         frame = np.empty((self.frame_size[1], self.frame_size[0], 3),
                          np.uint8)
         scale = ctypes.c_double()
         seq = self._lib.vp_next(
-            self._handle, net.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._handle, net.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
             frame.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
             ctypes.byref(scale), timeout_ms)
         if seq == -3:

@@ -47,6 +47,7 @@ class ShardedPoseInference:
         self.params = jax.device_put(
             model.params, mesh_lib.param_sharding(self.mesh, model.params))
         self._fn = self._build()
+        self._slicers = {}
 
     def _build(self):
         net_h, net_w = self.net_hw
@@ -59,7 +60,10 @@ class ShardedPoseInference:
 
         def run(params, images):
             from openpose_tpu.models import graph as _graph
-            x = resize.normalize_vgg(images)
+            # uint8 frames normalize on-device (XLA fuses the scale/shift
+            # into the first conv); shipping uint8 instead of float32
+            # quarters host->device transfer volume.
+            x = resize.normalize_vgg(images.astype(jnp.float32))
             out = _graph.forward(params, spec, x, dtype)
             merged = resize.resize_bicubic(out[..., :num_parts],
                                            (net_h, net_w))
@@ -89,10 +93,35 @@ class ShardedPoseInference:
         return self.mesh.shape["data"]
 
     def __call__(self, images: jax.Array):
-        """images [B, net_h, net_w, 3] float BGR (B divisible by data axis).
+        """images [B, net_h, net_w, 3] BGR, uint8 or float 0..255 (B
+        divisible by the data axis).
 
         Returns (peaks [B, parts, K+1, 3], pair_scores [B, P, K, K]).
         """
         batch_sh = mesh_lib.batch_sharding(self.mesh)
         images = jax.device_put(images, batch_sh)
         return self._fn(self.params, images)
+
+    # fetch-size ladder: the [B, P, K, K] pair-score tensor dominates
+    # device->host volume (1.7 MB/frame at K=127) but frames rarely have
+    # more than a handful of peaks per part, and assembly only reads the
+    # [:count_a, :count_b] corner.  Slicing on-device before the fetch cuts
+    # the transfer ~60x in the typical case (the TPU-side analogue of the
+    # reference streaming only used candidates, bodyPartConnectorBase.cpp).
+    SCORE_BUCKETS = (8, 16, 32, 64)
+
+    def _slicer(self, k: int):
+        if k not in self._slicers:
+            self._slicers[k] = jax.jit(lambda s: s[:, :, :k, :k])
+        return self._slicers[k]
+
+    def fetch(self, peaks_dev: jax.Array, scores_dev: jax.Array
+              ) -> Tuple[np.ndarray, np.ndarray]:
+        """Device outputs -> host arrays, score matrix truncated to the
+        smallest bucket covering this batch's max per-part peak count."""
+        peaks = np.asarray(peaks_dev)
+        max_count = int(peaks[:, :, 0, 0].max()) if peaks.size else 0
+        for k in self.SCORE_BUCKETS:
+            if max_count <= k < self.max_peaks:
+                return peaks, np.asarray(self._slicer(k)(scores_dev))
+        return peaks, np.asarray(scores_dev)

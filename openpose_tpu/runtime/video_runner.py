@@ -61,18 +61,14 @@ class VideoRunner:
             assembly_futures = []
 
             def flush_batch(batch, metas, start_idx):
-                import jax.numpy as jnp
-                # NativeFramePump already normalized; inference normalizes
-                # again, so undo: x_net = (x + 0.5) * 256
-                images = (np.stack(batch) + 0.5) * 256.0
-                out = self.inference(jnp.asarray(images))
+                # uint8 NHWC straight from the pump; device normalizes
+                out = self.inference(np.stack(batch))
                 pending_batches.append((start_idx, out, list(metas)))
 
             def resolve_batch():
                 start_idx, (peaks_dev, scores_dev), metas = \
                     pending_batches.pop(0)
-                peaks = np.asarray(peaks_dev)
-                scores = np.asarray(scores_dev)
+                peaks, scores = self.inference.fetch(peaks_dev, scores_dev)
                 futs = []
                 for bi, (scale, src_wh) in enumerate(metas):
                     s_n2o = 1.0 / scale if scale > 0 else 1.0
@@ -163,14 +159,12 @@ class VideoRunner:
         futures = []
 
         def flush(batch, scales, start_idx, real):
-            import jax.numpy as jnp
-            images = (np.stack(batch) + 0.5) * 256.0
-            out = self.inference(jnp.asarray(images))
+            out = self.inference(np.stack(batch))
             pending.append((start_idx, out, list(scales), real))
 
         def resolve():
             start_idx, (pk_dev, sc_dev), scales, real = pending.pop(0)
-            pk, sc = np.asarray(pk_dev), np.asarray(sc_dev)
+            pk, sc = self.inference.fetch(pk_dev, sc_dev)
             for bi in range(real):
                 s_n2o = 1.0 / scales[bi] if scales[bi] > 0 else 1.0
                 futures.append(pool.submit(
