@@ -132,6 +132,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="unsupported: requires the Adam model (see "
                         "--write_bvh)")
     p.add_argument("--write_coco_json", default="")
+    p.add_argument("--write_coco_json_variants", type=int, default=1,
+                   help="bitmask: 1=body 2=foot 4=face 8=hand21 16=hand42; "
+                        "<1 = all (flags.hpp write_coco_json_variants)")
     p.add_argument("--part_candidates", action="store_true",
                    help="add all NMS part candidates to the people JSON")
     p.add_argument("--write_heatmaps", default="")
@@ -269,7 +272,8 @@ def run_fast_path(args) -> int:
     keypoint_saver = savers.KeypointSaver(
         args.write_keypoint, args.write_keypoint_format) \
         if args.write_keypoint else None
-    coco_saver = json_io.CocoJsonSaver() if args.write_coco_json else None
+    coco_saver = json_io.CocoJsonSaver(args.write_coco_json_variants) \
+        if args.write_coco_json else None
 
     names = {}
 
@@ -446,7 +450,8 @@ def main(argv=None) -> int:
         if fps <= 0:
             fps = getattr(producer, "fps", 30.0)
         video_saver = savers.VideoSaver(args.write_video, fps)
-    coco_saver = json_io.CocoJsonSaver() if args.write_coco_json else None
+    coco_saver = json_io.CocoJsonSaver(args.write_coco_json_variants) \
+        if args.write_coco_json else None
     video3d_saver = savers.VideoSaver(args.write_video_3d, 15.0) \
         if args.write_video_3d else None
     bvh_saver = None
@@ -549,7 +554,10 @@ def main(argv=None) -> int:
         if coco_saver is not None and datum.pose_keypoints is not None \
                 and datum.pose_keypoints.size:
             coco_saver.record(datum.pose_keypoints, datum.pose_scores,
-                              json_io.image_id_from_name(name))
+                              json_io.image_id_from_name(name),
+                              face_keypoints=datum.face_keypoints,
+                              hand_left_keypoints=datum.hand_left_keypoints,
+                              hand_right_keypoints=datum.hand_right_keypoints)
         if heatmap_saver is not None and datum.heatmaps is not None:
             hm = datum.heatmaps          # primary pass output, no re-forward
             n_parts = wrapper.pose_extractor.info.num_parts

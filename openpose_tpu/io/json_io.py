@@ -69,52 +69,128 @@ def save_people_json(path: str, **kwargs) -> None:
         json.dump(people_json(**kwargs), f, separators=(",", ":"))
 
 
-# COCO part order maps (cocoJsonSaver.cpp:117-134)
+# COCO part order maps (cocoJsonSaver.cpp:117-141)
 _COCO_ORDER_BY_PARTS = {
     18: [0, 15, 14, 17, 16, 5, 2, 6, 3, 7, 4, 11, 8, 12, 9, 13, 10],
+    23: [0, 14, 13, 16, 15, 4, 1, 5, 2, 6, 3, 10, 7, 11, 8, 12, 9],
     25: [0, 16, 15, 18, 17, 5, 2, 6, 3, 7, 4, 12, 9, 13, 10, 14, 11],
     19: [0, 16, 15, 18, 17, 5, 2, 6, 3, 7, 4, 12, 9, 13, 10, 14, 11],
 }
-_FOOT_ORDER_BY_PARTS = {25: [19, 20, 21, 22, 23, 24]}
+# Foot variant (cocoJsonSaver.cpp:140-147): 6 foot keypoints
+_FOOT_ORDER_BY_PARTS = {25: [19, 20, 21, 22, 23, 24],
+                        23: [17, 18, 19, 20, 21, 22]}
+# Wrist body-part indices (LWrist, RWrist) shared by BODY_25/COCO_18/MPI_15
+# (poseParameters.cpp part name tables)
+_WRISTS_BY_PARTS = {25: (7, 4), 19: (7, 4), 18: (7, 4), 15: (7, 4)}
+
+# Variant bitmask (CocoJsonSaver ctor, cocoJsonSaver.cpp:46-70):
+# 1 = body, 2 = foot, 4 = face, 8 = hand21, 16 = hand42; < 1 = all five.
+VARIANT_BODY, VARIANT_FOOT, VARIANT_FACE = 1, 2, 4
+VARIANT_HAND21, VARIANT_HAND42 = 8, 16
+_VARIANT_SUFFIX = {VARIANT_BODY: "", VARIANT_FOOT: "_foot",
+                   VARIANT_FACE: "_face", VARIANT_HAND21: "_hand21",
+                   VARIANT_HAND42: "_hand42"}
 
 
 class CocoJsonSaver:
-    """Accumulate COCO-format detection entries; write with .save()."""
+    """Accumulate COCO-format detection entries; write with .save().
 
-    def __init__(self, foot: bool = False):
-        self.entries: List[Dict] = []
-        self.foot = foot
+    `variants` is the reference's `--write_coco_json_variants` bitmask
+    (cocoJsonSaver.cpp:46-70): each set bit opens one output stream; the
+    foot/face/hand streams are written next to the body file with
+    `_foot`/`_face`/`_hand21`/`_hand42` suffixes.  The reference's BODY_135
+    flat-array indices (F135/H135 offsets, cocoJsonSaver.cpp:149-178) map to
+    this framework's separate datum arrays: face = the first 68 of the
+    70-keypoint face model; hand21 = body RWrist + right-hand points 1-20;
+    hand42 = body LWrist + left-hand 1-20 + body RWrist + right-hand 1-20
+    (each hand's point 0 is its wrist, superseded by the body estimate).
+    """
+
+    def __init__(self, variants: int = VARIANT_BODY, foot: bool = False):
+        if variants >= 32:
+            raise ValueError(
+                "unknown value for --write_coco_json_variants (bitmask of "
+                "1=body 2=foot 4=face 8=hand21 16=hand42, or <1 for all)")
+        if variants < 1:
+            variants = (VARIANT_BODY | VARIANT_FOOT | VARIANT_FACE
+                        | VARIANT_HAND21 | VARIANT_HAND42)
+        if foot:  # legacy single-stream foot mode
+            variants = VARIANT_FOOT
+        self.variants = variants
+        self.entries: Dict[int, List[Dict]] = {
+            v: [] for v in _VARIANT_SUFFIX if variants & v}
 
     def record(self, pose_keypoints: np.ndarray, pose_scores: np.ndarray,
-               image_id: int) -> None:
+               image_id: int,
+               face_keypoints: Optional[np.ndarray] = None,
+               hand_left_keypoints: Optional[np.ndarray] = None,
+               hand_right_keypoints: Optional[np.ndarray] = None) -> None:
         if pose_keypoints.size == 0:
             return
         num_parts = pose_keypoints.shape[1]
-        order = (_FOOT_ORDER_BY_PARTS if self.foot
-                 else _COCO_ORDER_BY_PARTS).get(num_parts)
-        if order is None:
-            raise ValueError(f"no COCO order for {num_parts} parts")
+        wrists = _WRISTS_BY_PARTS.get(num_parts, (7, 4))
         for person in range(pose_keypoints.shape[0]):
-            kp = pose_keypoints[person]
-            valid = kp[order, 2] > 0
-            if not valid.any():
-                continue
-            flat: List[float] = []
-            for idx, v in zip(order, valid):
-                flat += [float(kp[idx, 0]) if v else -1.0,
-                         float(kp[idx, 1]) if v else -1.0,
-                         1 if v else 0]
-            self.entries.append({
-                "image_id": int(image_id),
-                "category_id": 1,
-                "keypoints": [round(v, 3) if isinstance(v, float) else v
-                              for v in flat],
-                "score": round(float(pose_scores[person]), 6),
-            })
+            score = round(float(pose_scores[person]), 6)
+            for variant, entries in self.entries.items():
+                pts = self._person_points(
+                    variant, num_parts, wrists, pose_keypoints[person],
+                    None if face_keypoints is None
+                    else face_keypoints[person],
+                    None if hand_left_keypoints is None
+                    else hand_left_keypoints[person],
+                    None if hand_right_keypoints is None
+                    else hand_right_keypoints[person])
+                if pts is None:
+                    continue
+                valid = pts[:, 2] > 0
+                if not valid.any():      # cocoJsonSaver.cpp:208-222
+                    continue
+                flat: List = []
+                for (x, y, _), v in zip(pts, valid):
+                    flat += [round(float(x), 3) if v else -1.0,
+                             round(float(y), 3) if v else -1.0,
+                             1 if v else 0]
+                entries.append({"image_id": int(image_id), "category_id": 1,
+                                "keypoints": flat, "score": score})
+
+    @staticmethod
+    def _person_points(variant, num_parts, wrists, pose, face, hl, hr):
+        """-> [K, 3] points for one person/variant, or None if inapplicable."""
+        if variant == VARIANT_BODY:
+            order = _COCO_ORDER_BY_PARTS.get(num_parts)
+            if order is None:
+                raise ValueError(f"no COCO order for {num_parts} parts")
+            return pose[order]
+        if variant == VARIANT_FOOT:
+            order = _FOOT_ORDER_BY_PARTS.get(num_parts)
+            return None if order is None else pose[order]
+        if variant == VARIANT_FACE:
+            return None if face is None or face.size == 0 else face[:68]
+        if variant == VARIANT_HAND21:
+            if hr is None or hr.size == 0:
+                return None
+            return np.concatenate([pose[wrists[1]:wrists[1] + 1], hr[1:21]])
+        if variant == VARIANT_HAND42:
+            if hl is None or hr is None or not (hl.size and hr.size):
+                return None
+            return np.concatenate([pose[wrists[0]:wrists[0] + 1], hl[1:21],
+                                   pose[wrists[1]:wrists[1] + 1], hr[1:21]])
+        raise AssertionError(variant)
 
     def save(self, path: str) -> None:
-        with open(path, "w") as f:
-            json.dump(self.entries, f)
+        """Write each variant stream (body at `path`, others suffixed)."""
+        import pathlib
+        p = pathlib.Path(path)
+        for variant, entries in self.entries.items():
+            suffix = _VARIANT_SUFFIX[variant]
+            if suffix and self.variants != VARIANT_FOOT:
+                out = p.with_name(p.stem + suffix + p.suffix)
+            elif suffix and self.variants == VARIANT_FOOT:
+                out = p            # legacy foot-only mode writes at `path`
+            else:
+                out = p
+            with open(out, "w") as f:
+                json.dump(entries, f)
 
 
 def image_id_from_name(name: str) -> int:

@@ -23,6 +23,9 @@ def main():
     p.add_argument("--scale_gap", type=float, default=0.25)
     p.add_argument("--max_images", type=int, default=-1)
     p.add_argument("--out", default="coco_detections.json")
+    p.add_argument("--variants", type=int, default=1,
+                   help="CocoJsonSaver bitmask (2 adds the foot stream for "
+                        "the foot-AP half of pose_accuracy_coco_val.sh)")
     args = p.parse_args()
 
     import cv2
@@ -40,7 +43,7 @@ def main():
         net_resolution=(int(w), int(h)), scale_number=args.scale_number,
         scale_gap=args.scale_gap, maximize_positives=True,
         caffemodel=args.caffemodel))
-    saver = json_io.CocoJsonSaver()
+    saver = json_io.CocoJsonSaver(args.variants)
     for i, img_info in enumerate(images):
         img = cv2.imread(str(pathlib.Path(args.images)
                              / img_info["file_name"]))

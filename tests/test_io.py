@@ -82,7 +82,7 @@ class TestCocoJson:
         kp[0, 0] = (10, 20, 0.9)    # nose
         kp[0, 16] = (30, 40, 0.8)   # leye -> coco index 1
         saver.record(kp, np.array([0.7]), image_id=42)
-        e = saver.entries[0]
+        e = saver.entries[json_io.VARIANT_BODY][0]
         assert e["image_id"] == 42
         assert e["keypoints"][0:3] == [10.0, 20.0, 1]
         assert e["keypoints"][3:6] == [30.0, 40.0, 1]
@@ -92,6 +92,48 @@ class TestCocoJson:
     def test_image_id_from_name(self):
         assert json_io.image_id_from_name(
             "COCO_val2014_000000000192") == 192
+
+    def test_variants_bitmask_streams(self, tmp_path):
+        # variants<1 -> all five streams (cocoJsonSaver.cpp:46-70)
+        saver = json_io.CocoJsonSaver(variants=0)
+        kp = np.zeros((1, 25, 3), np.float32)
+        kp[0, 0] = (10, 20, 0.9)
+        kp[0, 19] = (5, 6, 0.5)       # LBigToe -> first foot keypoint
+        kp[0, 4] = (100, 100, 0.9)    # RWrist
+        kp[0, 7] = (200, 200, 0.9)    # LWrist
+        face = np.random.RandomState(0).rand(1, 70, 3).astype(np.float32)
+        hl = np.random.RandomState(1).rand(1, 21, 3).astype(np.float32)
+        hr = np.random.RandomState(2).rand(1, 21, 3).astype(np.float32)
+        saver.record(kp, np.array([0.7]), 7, face_keypoints=face,
+                     hand_left_keypoints=hl, hand_right_keypoints=hr)
+        # per-variant keypoint counts (17 body, 6 foot, 68 face, 21/42 hand)
+        assert len(saver.entries[json_io.VARIANT_BODY][0]["keypoints"]) == 51
+        foot = saver.entries[json_io.VARIANT_FOOT][0]["keypoints"]
+        assert len(foot) == 18 and foot[0:3] == [5.0, 6.0, 1]
+        assert len(saver.entries[json_io.VARIANT_FACE][0]["keypoints"]) == 204
+        h21 = saver.entries[json_io.VARIANT_HAND21][0]["keypoints"]
+        assert len(h21) == 63
+        # hand21 point 0 is the body RWrist, not the hand-net wrist
+        assert h21[0:2] == [100.0, 100.0]
+        h42 = saver.entries[json_io.VARIANT_HAND42][0]["keypoints"]
+        assert len(h42) == 126 and h42[0:2] == [200.0, 200.0]
+        saver.save(str(tmp_path / "out.json"))
+        assert sorted(p.name for p in tmp_path.iterdir()) == [
+            "out.json", "out_face.json", "out_foot.json",
+            "out_hand21.json", "out_hand42.json"]
+
+    def test_variants_face_only_without_face_data(self, tmp_path):
+        saver = json_io.CocoJsonSaver(variants=json_io.VARIANT_FACE)
+        kp = np.zeros((1, 25, 3), np.float32)
+        kp[0, 0] = (10, 20, 0.9)
+        saver.record(kp, np.array([0.7]), 7)     # no face -> no entry
+        assert saver.entries[json_io.VARIANT_FACE] == []
+        saver.save(str(tmp_path / "o.json"))
+        assert (tmp_path / "o_face.json").exists()
+
+    def test_variants_reject_unknown_bits(self):
+        with pytest.raises(ValueError):
+            json_io.CocoJsonSaver(variants=32)
 
 
 class TestCocoEval:
