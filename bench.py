@@ -119,13 +119,63 @@ def main() -> None:
           f"ms/frame -> {1000.0 / worst_frame_ms:.1f} frames/s",
           file=sys.stderr)
 
+    e2e_fps = _bench_end_to_end()
+
     baseline = 22.0
     print(json.dumps({
         "metric": "BODY_25 368x656 device pipeline frames/s/chip (batch 8)",
         "value": round(fps, 2),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / baseline, 3),
+        "worst_case_fps": round(1000.0 / worst_frame_ms, 2),
+        "e2e_disk_to_keypoints_fps": e2e_fps,
     }))
+
+
+def _bench_end_to_end() -> float:
+    """Disk -> keypoints frames/s through the full user path: native MJPEG
+    decode pool -> uint8 batches -> sharded device program -> adaptive fetch
+    -> host greedy assembly (runtime/video_runner.py, the CLI --video path).
+
+    Configuration notes: random weights make every NMS budget saturate, so
+    this run uses the people-capped production config (max_peaks=16, i.e.
+    --number_people_max) and an NMS threshold recalibrated so random-weight
+    activations produce trained-weight-like peak statistics (~8-16/part).
+    On this harness the device is reached through a remote tunnel at
+    ~40 MB/s; at 724 KB/frame the upload alone caps e2e at ~55 f/s, so this
+    number is a TUNNEL-bandwidth measurement, not a TPU-host one — the
+    device pipeline number above is the co-located-host throughput."""
+    import pathlib
+    video = pathlib.Path("/root/reference/examples/media/video.avi")
+    try:
+        from openpose_tpu.io.native_loader import available
+        if not available() or not video.exists():
+            _progress("e2e: native pump or media missing; skipped")
+            return 0.0
+        from openpose_tpu.models import zoo
+        from openpose_tpu.params import PoseModel
+        from openpose_tpu.parallel.inference import ShardedPoseInference
+        from openpose_tpu.pose.extractor import PoseExtractor
+        from openpose_tpu.runtime.video_runner import VideoRunner
+
+        _progress("e2e: building people-capped pipeline")
+        model = zoo.load_pose_model(PoseModel.BODY_25)
+        inf = ShardedPoseInference(model, net_hw=(368, 656), max_peaks=16,
+                                   nms_threshold=2.0)
+        runner = VideoRunner(inf, PoseExtractor(model), batch_size=32,
+                             max_in_flight=6)
+        runner.run_video(str(video), max_frames=64)      # compile + warm
+        best = 0.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            res = runner.run_video(str(video))
+            best = max(best, len(res) / (time.perf_counter() - t0))
+        print(f"e2e disk->keypoints (batch 32, people-capped): "
+              f"{best:.1f} frames/s", file=sys.stderr)
+        return round(best, 2)
+    except Exception as exc:          # never sink the headline number
+        _progress(f"e2e bench failed: {exc!r}")
+        return 0.0
 
 
 if __name__ == "__main__":

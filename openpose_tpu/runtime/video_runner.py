@@ -36,12 +36,15 @@ class VideoRunner:
     def __init__(self, inference: ShardedPoseInference,
                  extractor: PoseExtractor,
                  batch_size: int = 8, decode_threads: int = 4,
-                 assembly_workers: int = 4):
+                 assembly_workers: int = 4, max_in_flight: int = 4):
         self.inference = inference
         self.extractor = extractor
         self.batch_size = batch_size
         self.decode_threads = decode_threads
         self.assembly_workers = assembly_workers
+        # device batches in flight before the oldest is resolved; >2 hides
+        # the transfer latency of a remote (tunneled) device behind compute
+        self.max_in_flight = max(2, max_in_flight)
 
     def run_files(self, paths: List[str],
                   on_result: Optional[Callable[[FrameResult], None]] = None
@@ -63,12 +66,12 @@ class VideoRunner:
             def flush_batch(batch, metas, start_idx):
                 # uint8 NHWC straight from the pump; device normalizes
                 out = self.inference(np.stack(batch))
-                pending_batches.append((start_idx, out, list(metas)))
+                handle = self.inference.fetch_begin(*out)
+                pending_batches.append((start_idx, handle, list(metas)))
 
             def resolve_batch():
-                start_idx, (peaks_dev, scores_dev), metas = \
-                    pending_batches.pop(0)
-                peaks, scores = self.inference.fetch(peaks_dev, scores_dev)
+                start_idx, handle, metas = pending_batches.pop(0)
+                peaks, scores = self.inference.fetch_end(handle)
                 futs = []
                 for bi, (scale, src_wh) in enumerate(metas):
                     s_n2o = 1.0 / scale if scale > 0 else 1.0
@@ -96,7 +99,7 @@ class VideoRunner:
                         flush_batch(batch, metas, start_idx)
                         start_idx += len(batch)
                         batch, metas = [], []
-                        if len(pending_batches) > 1:
+                        if len(pending_batches) >= self.max_in_flight:
                             resolve_batch()
             while popped < submitted:
                 item = pump.next()
@@ -160,11 +163,12 @@ class VideoRunner:
 
         def flush(batch, scales, start_idx, real):
             out = self.inference(np.stack(batch))
-            pending.append((start_idx, out, list(scales), real))
+            handle = self.inference.fetch_begin(*out)
+            pending.append((start_idx, handle, list(scales), real))
 
         def resolve():
-            start_idx, (pk_dev, sc_dev), scales, real = pending.pop(0)
-            pk, sc = self.inference.fetch(pk_dev, sc_dev)
+            start_idx, handle, scales, real = pending.pop(0)
+            pk, sc = self.inference.fetch_end(handle)
             for bi in range(real):
                 s_n2o = 1.0 / scales[bi] if scales[bi] > 0 else 1.0
                 futures.append(pool.submit(
@@ -185,7 +189,7 @@ class VideoRunner:
                     flush(batch, scales, start_idx, len(batch))
                     start_idx += len(batch)
                     batch, scales = [], []
-                    if len(pending) > 1:
+                    if len(pending) >= self.max_in_flight:
                         resolve()
             if batch:
                 real = len(batch)
