@@ -31,7 +31,15 @@ class ShardedPoseInference:
                  max_peaks: int = 127, nms_threshold: float = 0.05,
                  inter_threshold: float = 0.05,
                  inter_min_above_threshold: float = 0.95,
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16,
+                 scale_number: int = 1, scale_gap: float = 0.25,
+                 frame_hw: Optional[Tuple[int, int]] = None):
+        """frame_hw: if given, __call__ takes RAW frames [B, fh, fw, 3] and
+        the device program does the aspect-preserving resize to every scale
+        itself (exact multi-scale reference semantics: each scale resamples
+        the original frame, scaleAndSizeExtractor.cpp:37-112).  If None,
+        inputs are pre-resized scale-0 net inputs (upload-minimal path) and
+        smaller scales are derived on-device from the scale-0 canvas."""
         self.model = model
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
         self.net_hw = net_hw
@@ -39,10 +47,24 @@ class ShardedPoseInference:
         self.thresholds = (nms_threshold, inter_threshold,
                            inter_min_above_threshold)
         self.compute_dtype = compute_dtype
+        self.frame_hw = frame_hw
         info = model.info
         self._pairs = jnp.asarray(paf.pair_tables(info)[0])
         self._map_idx = jnp.asarray(paf.pair_tables(info)[1])
         self._num_parts = info.num_parts
+
+        from openpose_tpu.pose import scaler
+        net_h, net_w = net_hw
+        in_wh = ((net_w, net_h) if frame_hw is None
+                 else (frame_hw[1], frame_hw[0]))
+        self.plan = scaler.extract_scales(
+            in_wh, (net_w, net_h), scale_number, scale_gap)
+        # net-output px -> input px (poseExtractorCaffe.cpp:306-311);
+        # identity when inputs are already net-sized
+        net_size = (int(self.plan.scale_input_to_net[0] * in_wh[0] + 0.5),
+                    int(self.plan.scale_input_to_net[0] * in_wh[1] + 0.5))
+        self.scale_net_to_output = scaler.resize_get_scale_factor(
+            net_size, in_wh)
 
         self.params = jax.device_put(
             model.params, mesh_lib.param_sharding(self.mesh, model.params))
@@ -58,19 +80,40 @@ class ShardedPoseInference:
         dtype = self.compute_dtype
         max_peaks = self.max_peaks
 
+        plan = self.plan
+        raw_frames = self.frame_hw is not None
+        sizes = plan.net_input_sizes
+        scales = plan.scale_input_to_net
+
         def run(params, images):
             from openpose_tpu.models import graph as _graph
             # uint8 frames normalize on-device (XLA fuses the scale/shift
             # into the first conv); shipping uint8 instead of float32
             # quarters host->device transfer volume.
-            x = resize.normalize_vgg(images.astype(jnp.float32))
-            out = _graph.forward(params, spec, x, dtype)
-            merged = resize.resize_bicubic(out[..., :num_parts],
-                                           (net_h, net_w))
-            peaks = nms.nms(merged, nms_thr, max_peaks)
+            x = images.astype(jnp.float32)
+            sources = []
+            for (w_i, h_i), s_i in zip(sizes, scales):
+                if raw_frames:
+                    # exact reference path: each scale resamples the frame
+                    net_in = resize.resize_fixed_aspect(x, s_i, (h_i, w_i))
+                elif (w_i, h_i) == (net_w, net_h):
+                    net_in = x
+                else:
+                    # derive from the scale-0 canvas (s_0 == 1 here)
+                    net_in = resize.resize_fixed_aspect(
+                        x, s_i / scales[0], (h_i, w_i))
+                sources.append(_graph.forward(
+                    params, spec, resize.normalize_vgg(net_in), dtype))
+            merged = resize.upsample_merge(
+                [s[..., :num_parts] for s in sources], list(scales),
+                (net_h, net_w))
+            # +0.5 refinement offset in INPUT pixels after host rescale
+            # (poseExtractorCaffe.cpp:317-318)
+            off = float(0.5 / self.scale_net_to_output)
+            peaks = nms.nms(merged, nms_thr, max_peaks, offset=(off, off))
             scores = paf.paf_scores_multiscale(
-                (out,), (1.0,), (net_h, net_w), peaks, pairs, map_idx,
-                inter_thr, inter_min, nms_thr)
+                tuple(sources), tuple(scales), (net_h, net_w), peaks,
+                pairs, map_idx, inter_thr, inter_min, nms_thr)
             return peaks, scores
 
         batch_sh = mesh_lib.batch_sharding(self.mesh)
@@ -94,7 +137,8 @@ class ShardedPoseInference:
 
     def __call__(self, images: jax.Array):
         """images [B, net_h, net_w, 3] BGR, uint8 or float 0..255 (B
-        divisible by the data axis).
+        divisible by the data axis); raw [B, fh, fw, 3] frames when
+        constructed with frame_hw.
 
         Returns (peaks [B, parts, K+1, 3], pair_scores [B, P, K, K]).
         """
@@ -145,3 +189,83 @@ class ShardedPoseInference:
             if max_count <= k < self.max_peaks:
                 return peaks, np.asarray(self._slicer(k)(scores_dev))
         return peaks, np.asarray(scores_dev)
+
+
+class ShardedTopDown:
+    """Batched per-person crop extraction for a whole frame-batch.
+
+    The reference replicates the face/hand cascade per GPU and loops people
+    within a frame (wrapperAuxiliary.hpp:324-337, faceExtractorCaffe.cpp:
+    205-310); here every frame of the global batch crops up to `people_cap`
+    ROIs from ITS OWN shard (a vmapped gather — no cross-shard indexing, so
+    pure data parallelism stays collective-free) and one net forward covers
+    all batch*people_cap crops.  The memory-heavy 8x upsample + argmax
+    decode is lax.map-chunked over the people dimension.
+    """
+
+    def __init__(self, model: Model, mesh: Optional[Mesh] = None,
+                 net_size: int = 368, people_cap: int = 8,
+                 compute_dtype=jnp.bfloat16):
+        self.model = model
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        self.net_size = net_size
+        self.people_cap = people_cap
+        self.compute_dtype = compute_dtype
+        self.params = jax.device_put(
+            model.params, mesh_lib.param_sharding(self.mesh, model.params))
+        self._fns = {}
+
+    # transform row for an inactive slot: samples far outside -> all zeros
+    INACTIVE = (1.0, 1.0, -1e6, -1e6)
+
+    def _fn(self, frame_hw: Tuple[int, int]):
+        if frame_hw in self._fns:
+            return self._fns[frame_hw]
+        from openpose_tpu.models import graph as _graph
+        from openpose_tpu.ops import maximum, warp
+        net_size = self.net_size
+        spec = self.model.spec
+        dtype = self.compute_dtype
+
+        def run(params, frames, transforms):
+            # frames [B, H, W, 3] uint8/f32; transforms [B, P, 4]
+            f32 = frames.astype(jnp.float32)
+            crops = jax.vmap(
+                lambda im, tr: warp.crop_affine_batch(im, tr, net_size)
+            )(f32, transforms)                      # [B, P, S, S, 3]
+            b, p = crops.shape[0], crops.shape[1]
+            x = resize.normalize_vgg(
+                crops.reshape(b * p, net_size, net_size, 3))
+            out = _graph.forward(params, spec, x, dtype)   # [b*p, s, s, C]
+            chunks = out.reshape((b, p) + out.shape[1:]).transpose(
+                1, 0, 2, 3, 4)
+
+            def decode(chunk):                      # [b, s/8, s/8, C]
+                up = resize.resize_bicubic(chunk, (net_size, net_size))
+                return maximum.channel_argmax(up)   # [b, C, 3]
+
+            peaks = jax.lax.map(decode, chunks)     # [P, b, C, 3]
+            return peaks.transpose(1, 0, 2, 3)      # [b, P, C, 3]
+
+        if self.mesh.shape.get("model", 1) == 1:
+            run = jax.shard_map(
+                run, mesh=self.mesh,
+                in_specs=(P(), P("data"), P("data")),
+                out_specs=P("data"), check_vma=False)
+        batch_sh = mesh_lib.batch_sharding(self.mesh)
+        fn = jax.jit(run, in_shardings=(None, batch_sh, batch_sh),
+                     out_shardings=batch_sh)
+        self._fns[frame_hw] = fn
+        return fn
+
+    def __call__(self, frames, transforms) -> jax.Array:
+        """frames [B, H, W, 3]; transforms [B, people_cap, 4] affine rows
+        (warp.rect_to_transform).  Returns [B, people_cap, C, 3] peaks in
+        CROP coordinates (map back with warp.map_back)."""
+        frames = np.asarray(frames)
+        fn = self._fn(tuple(frames.shape[1:3]))
+        batch_sh = mesh_lib.batch_sharding(self.mesh)
+        return fn(self.params,
+                  jax.device_put(frames, batch_sh),
+                  jax.device_put(np.asarray(transforms, np.float32),
+                                 batch_sh))
