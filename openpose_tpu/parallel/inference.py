@@ -141,9 +141,22 @@ class ShardedPoseInference:
         constructed with frame_hw.
 
         Returns (peaks [B, parts, K+1, 3], pair_scores [B, P, K, K]).
+
+        Multi-host: each process passes its PER-HOST shard of the global
+        batch (jax.make_array_from_process_local_data assembles the global
+        array; the reference's analogue is one frame queue per GPU thread,
+        wrapperAuxiliary.hpp:1048-1067 — here each host feeds only the
+        frames its local devices will process, so frame pixels never cross
+        hosts).
         """
         batch_sh = mesh_lib.batch_sharding(self.mesh)
-        images = jax.device_put(images, batch_sh)
+        if isinstance(images, jax.Array) and images.sharding == batch_sh:
+            pass
+        elif jax.process_count() > 1:
+            images = jax.make_array_from_process_local_data(
+                batch_sh, np.asarray(images))
+        else:
+            images = jax.device_put(images, batch_sh)
         return self._fn(self.params, images)
 
     # fetch-size ladder: the [B, P, K, K] pair-score tensor dominates
