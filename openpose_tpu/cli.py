@@ -198,10 +198,11 @@ def fast_path_eligible(args) -> bool:
     """True when the batched pipeline can serve this invocation.
 
     The high-throughput path (NativeFramePump -> ShardedPoseInference ->
-    threaded assembly, openpose_tpu/runtime/video_runner.py) covers body-only
-    keypoint extraction from files; anything needing per-frame host frames
-    (rendering, GUI), the extra cascades, or real-time pacing falls back to
-    the synchronous per-frame loop.
+    threaded assembly, openpose_tpu/runtime/video_runner.py) covers
+    keypoint extraction from files, including multi-scale and — for video
+    input — the batched whole-body cascade (ShardedWholeBody); anything
+    needing per-frame host frames (rendering, GUI), non-default detectors,
+    or real-time pacing falls back to the synchronous per-frame loop.
     """
     if args.batch == 1:
         return False
@@ -211,14 +212,20 @@ def fast_path_eligible(args) -> bool:
             or args.part_to_show != 0 or args.show_info
             or args.write_heatmaps or args.write_video_3d or args.write_bvh):
         return False
-    if (args.face or args.hand or args.threed or args.tracking >= 0
+    if (args.threed or args.tracking >= 0
             or args.identification or args.part_candidates
             or args.num_views > 1 or args.frames_repeat
             or args.process_real_time or args.fps_max > 0
-            or args.scale_number > 1 or args.frame_flip
+            or args.frame_flip
             or args.frame_rotate or args.frame_undistort
             or args.keypoint_scale != 0 or args.udp_host
             or not args.body):
+        return False
+    # face/hand: the batched whole-body cascade needs raw frames, which
+    # only the video pump provides; non-default detectors stay per-frame
+    if (args.face or args.hand) and (
+            not args.video or args.face_detector != 0
+            or args.hand_detector != 0 or args.hand_scale_number > 1):
         return False
     if args.video and args.frame_first > 0:
         return False
@@ -253,18 +260,53 @@ def run_fast_path(args) -> int:
         prototxt=args.prototxt_path or None)
     cp = default_connect_params(PoseModel(args.model_pose),
                                 args.maximize_positives)
-    inference = ShardedPoseInference(
-        model, net_hw=(net_h, net_w),
-        nms_threshold=cp.nms_threshold,
-        inter_threshold=cp.inter_threshold,
-        inter_min_above_threshold=cp.inter_min_above_threshold,
-        compute_dtype=jnp.float32 if args.fp32 else jnp.bfloat16)
-    extractor = PoseExtractor(model,
-                              maximize_positives=args.maximize_positives)
-    # batch must tile the mesh data axis
-    dp = inference.data_parallelism
-    batch = -(-batch // dp) * dp
-    runner = VideoRunner(inference, extractor, batch_size=batch)
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    whole_body = args.face or args.hand
+    if whole_body:
+        # batched whole-body cascade on raw frames (runtime/whole_body.py)
+        import cv2
+        from openpose_tpu.runtime.whole_body import ShardedWholeBody
+        cap = cv2.VideoCapture(args.video)
+        fw = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        fh = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        cap.release()
+        if fw <= 0 or fh <= 0:
+            raise SystemExit(f"cannot open video: {args.video}")
+        people_cap = args.number_people_max if args.number_people_max > 0 \
+            else 8
+        wb = ShardedWholeBody(
+            model,
+            zoo.load_face_model(model_folder=args.model_folder or None)
+            if args.face else None,
+            zoo.load_hand_model(model_folder=args.model_folder or None)
+            if args.hand else None,
+            frame_hw=(fh, fw), net_hw=(net_h, net_w),
+            people_cap=people_cap,
+            scale_number=args.scale_number, scale_gap=args.scale_gap,
+            face_net_size=parse_resolution(args.face_net_resolution)[1],
+            hand_net_size=parse_resolution(args.hand_net_resolution)[1],
+            compute_dtype=dtype,
+            nms_threshold=cp.nms_threshold,
+            inter_threshold=cp.inter_threshold,
+            inter_min_above_threshold=cp.inter_min_above_threshold)
+        dp = wb.mesh.shape["data"]
+        batch = -(-batch // dp) * dp
+        runner = None
+        inference = extractor = None
+    else:
+        inference = ShardedPoseInference(
+            model, net_hw=(net_h, net_w),
+            scale_number=args.scale_number, scale_gap=args.scale_gap,
+            nms_threshold=cp.nms_threshold,
+            inter_threshold=cp.inter_threshold,
+            inter_min_above_threshold=cp.inter_min_above_threshold,
+            compute_dtype=dtype)
+        extractor = PoseExtractor(model,
+                                  maximize_positives=args.maximize_positives)
+        # batch must tile the mesh data axis
+        dp = inference.data_parallelism
+        batch = -(-batch // dp) * dp
+        runner = VideoRunner(inference, extractor, batch_size=batch)
 
     json_dir = _pathlib.Path(args.write_json) if args.write_json else None
     if json_dir:
@@ -296,7 +338,35 @@ def run_fast_path(args) -> int:
             print(f"Processed {res.index + 1} frames")
 
     t0 = time.time()
-    if args.image_dir:
+    if whole_body:
+        names = _NameByIndex(_pathlib.Path(args.video).stem)
+
+        def on_wb(idx, res):
+            name = names.get(idx)
+            if json_dir is not None:
+                json_io.save_people_json(
+                    str(json_dir / f"{name}_keypoints.json"),
+                    pose_keypoints=res.pose_keypoints,
+                    face_keypoints=res.face_keypoints,
+                    hand_left_keypoints=res.hand_left_keypoints,
+                    hand_right_keypoints=res.hand_right_keypoints)
+            if keypoint_saver is not None:
+                keypoint_saver.save([res.pose_keypoints], name, "pose")
+            if coco_saver is not None and res.pose_keypoints.size:
+                coco_saver.record(
+                    res.pose_keypoints, res.pose_scores,
+                    json_io.image_id_from_name(name),
+                    face_keypoints=res.face_keypoints,
+                    hand_left_keypoints=res.hand_left_keypoints,
+                    hand_right_keypoints=res.hand_right_keypoints)
+            if args.cli_verbose > 0 \
+                    and (idx + 1) % max(int(args.cli_verbose), 1) == 0:
+                print(f"Processed {idx + 1} frames")
+
+        results = VideoRunner.run_video_whole_body(
+            wb, args.video, frame_step=args.frame_step, on_result=on_wb,
+            max_frames=args.max_frames, batch_size=batch)
+    elif args.image_dir:
         paths = sorted(
             p for p in _pathlib.Path(args.image_dir).iterdir()
             if p.suffix.lower() in producers.IMAGE_EXTENSIONS)

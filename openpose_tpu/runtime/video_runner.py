@@ -142,6 +142,55 @@ class VideoRunner:
         return FrameResult(index, keypoints, person_scores, src_wh)
 
     # ------------------------------------------------------------------ #
+    @staticmethod
+    def run_video_whole_body(whole_body, path: str, frame_step: int = 1,
+                             on_result=None, max_frames: int = -1,
+                             batch_size: int = 8, decode_threads: int = 4):
+        """Whole-body (pose+face+hand) batched video path.
+
+        Feeds RAW decoded frames to ShardedWholeBody (its body stage does
+        the per-scale resize on device, and the face/hand stages crop from
+        the full-resolution frame exactly like the reference cascade,
+        wrapperAuxiliary.hpp:324-337).  Batch-synchronous: the cascade has
+        host geometry between device stages, so batches are not overlapped.
+
+        Returns a list of (frame_index, WholeBodyResult).
+        """
+        from openpose_tpu.io.native_loader import NativeVideoPump, available
+        if not available():
+            raise RuntimeError("native frame pump not built (make -C native)")
+        # net inputs from the pump are unused (resize happens on device)
+        pump = NativeVideoPump(path, 16, 16, threads=decode_threads,
+                               capacity=batch_size * 2,
+                               frame_step=frame_step)
+        results = []
+        try:
+            batch, idx0, n = [], 0, 0
+            def flush(frames, start):
+                real = len(frames)
+                pad = batch_size - real
+                frames = frames + [frames[-1]] * pad
+                for off, res in enumerate(
+                        whole_body(np.stack(frames))[:real]):
+                    results.append((start + off, res))
+                    if on_result is not None:
+                        on_result(start + off, res)
+            for _, frame, _net, _scale in pump:
+                if 0 <= max_frames <= n:
+                    break
+                n += 1
+                batch.append(frame)
+                if len(batch) == batch_size:
+                    flush(batch, idx0)
+                    idx0 += batch_size
+                    batch = []
+            if batch:
+                flush(batch, idx0)
+        finally:
+            pump.close()
+        return results
+
+    # ------------------------------------------------------------------ #
     def run_video(self, path: str, frame_step: int = 1,
                   on_result: Optional[Callable[[FrameResult], None]] = None,
                   max_frames: int = -1) -> List[FrameResult]:

@@ -37,7 +37,9 @@ class TestFastPathEligibility:
                         frame_undistort=False, keypoint_scale=0, udp_host="",
                         body=1, write_images="", write_video="", display=0,
                         part_to_show=0, show_info=False, write_heatmaps="",
-                        write_video_3d="", write_bvh="", frame_first=0)
+                        write_video_3d="", write_bvh="", frame_first=0,
+                        face_detector=0, hand_detector=0,
+                        hand_scale_number=1)
         defaults.update(over)
         import argparse
         return argparse.Namespace(**defaults)
@@ -47,11 +49,23 @@ class TestFastPathEligibility:
         assert cli.fast_path_eligible(self._args()) == available()
 
     @pytest.mark.parametrize("over", [
+        # multi-scale and video whole-body now ride the batched path
+        dict(scale_number=4),
+        dict(image_dir="", video="v.avi", face=True, hand=True),
+    ])
+    def test_eligible_extended(self, over):
+        from openpose_tpu.io.native_loader import available
+        assert cli.fast_path_eligible(self._args(**over)) == available()
+
+    @pytest.mark.parametrize("over", [
         dict(batch=1), dict(image_dir="", video=""), dict(face=True),
         dict(hand=True), dict(threed=True), dict(tracking=0),
         dict(display=2), dict(write_images="out"), dict(part_to_show=-1),
-        dict(scale_number=4), dict(num_views=2), dict(keypoint_scale=3),
+        dict(num_views=2), dict(keypoint_scale=3),
         dict(image_dir="", video="v.avi", frame_first=3),
+        # whole-body needs the video pump's raw frames / default detectors
+        dict(image_dir="", video="v.avi", face=True, face_detector=2),
+        dict(image_dir="", video="v.avi", hand=True, hand_scale_number=2),
     ])
     def test_ineligible(self, over):
         assert not cli.fast_path_eligible(self._args(**over))
@@ -76,6 +90,36 @@ class TestFastPathEndToEnd:
         assert "people" in data
         for person in data["people"]:
             assert "pose_keypoints_2d" in person
+
+    def test_video_whole_body_to_json(self, tmp_path):
+        from openpose_tpu.io.native_loader import available
+        if not available():
+            pytest.skip("native frame pump not built")
+        path = str(tmp_path / "v.avi")
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10,
+                            (64, 48))
+        rng = np.random.RandomState(0)
+        for i in range(5):
+            w.write(rng.randint(0, 255, (48, 64, 3), np.uint8))
+        w.release()
+        out = tmp_path / "json_wb"
+        rc = cli.main([
+            "--video", path, "--write_json", str(out),
+            "--net_resolution", "64x48", "--batch", "4", "--fp32",
+            "--face", "--hand",
+            "--face_net_resolution", "64x64",
+            "--hand_net_resolution", "64x64",
+            "--number_people_max", "2"])
+        assert rc == 0
+        files = sorted(out.glob("*_keypoints.json"))
+        assert len(files) == 5
+        data = json.loads(files[0].read_text())
+        assert data["version"] == 1.3
+        for person in data["people"]:
+            # whole-body schema: face + both hand streams present
+            assert "face_keypoints_2d" in person
+            assert "hand_left_keypoints_2d" in person
+            assert "hand_right_keypoints_2d" in person
 
     def test_respects_frame_window(self, tmp_path):
         from openpose_tpu.io.native_loader import available
