@@ -57,15 +57,19 @@ class AsyncPipeline:
             q.put(_SENTINEL)
 
     def _writer(self, q: queue.Queue) -> None:
-        try:
-            while True:
-                item = q.get()
-                if item is _SENTINEL:
-                    return
-                if self.consumer is not None:
+        # On consumer error: record it but KEEP DRAINING (discarding) until
+        # the sentinel, so the main loop's out_q.put never deadlocks on a
+        # full queue behind a dead writer (the reference's analogue is
+        # checkWorkerErrors + queue stop(), threadManager.hpp:238).
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                return
+            if self._error is None and self.consumer is not None:
+                try:
                     self.consumer(item)
-        except BaseException as e:
-            self._error = e
+                except BaseException as e:
+                    self._error = e
 
     def run(self) -> PipelineStats:
         in_q: queue.Queue = queue.Queue(maxsize=self.queue_size)
@@ -80,23 +84,32 @@ class AsyncPipeline:
         pending = []
         t0 = time.perf_counter()
         frames = 0
-        while True:
-            item = in_q.get()
-            if item is _SENTINEL:
-                break
-            pending.append(self.process(item))
-            # Keep a bounded in-flight window: resolve the oldest result
-            if len(pending) >= self.in_flight:
-                out_q.put(_resolve(pending.pop(0)))
+        try:
+            while True:
+                if self._error is not None:
+                    raise self._error
+                item = in_q.get()
+                if item is _SENTINEL:
+                    break
+                pending.append(self.process(item))
+                # Bounded in-flight window: resolve the oldest result
+                if len(pending) >= self.in_flight:
+                    out_q.put(_resolve(pending.pop(0)))
+                    frames += 1
+            for p in pending:
+                out_q.put(_resolve(p))
                 frames += 1
-            if self._error is not None:
-                raise self._error
-        for p in pending:
-            out_q.put(_resolve(p))
-            frames += 1
-        out_q.put(_SENTINEL)
-        writer.join()
-        reader.join()
+        finally:
+            out_q.put(_SENTINEL)
+            writer.join()
+            # Unblock a reader stuck on a full in_q (error exit), bounded
+            deadline = time.perf_counter() + 2.0
+            while reader.is_alive() and time.perf_counter() < deadline:
+                try:
+                    in_q.get_nowait()
+                except queue.Empty:
+                    pass
+                reader.join(timeout=0.05)
         if self._error is not None:
             raise self._error
         self.stats = PipelineStats(frames, time.perf_counter() - t0)

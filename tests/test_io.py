@@ -195,6 +195,40 @@ class TestAsyncPipeline:
         with pytest.raises(RuntimeError, match="boom"):
             pipe.run()
 
+    def test_consumer_error_no_deadlock(self):
+        """A dying writer must not deadlock the main loop on a full out
+        queue: the writer drains (discarding) until the sentinel and the
+        error is re-raised promptly."""
+        def bad_consumer(x):
+            raise ValueError("sink failed")
+        pipe = AsyncPipeline(range(500), lambda x: x, bad_consumer,
+                             queue_size=2, in_flight=1)
+        with pytest.raises(ValueError, match="sink failed"):
+            pipe.run()
+
+    def test_producer_unblocked_on_error(self):
+        """A reader blocked on a full in-queue is drained on the error
+        path, not abandoned mid-put."""
+        produced = []
+
+        def producer():
+            for i in range(100):
+                produced.append(i)
+                yield i
+
+        calls = []
+
+        def process(x):
+            calls.append(x)
+            if len(calls) == 3:
+                raise RuntimeError("device died")
+            return x
+
+        pipe = AsyncPipeline(producer(), process, lambda x: None,
+                             queue_size=2, in_flight=1)
+        with pytest.raises(RuntimeError, match="device died"):
+            pipe.run()
+
 
 class TestProducerParityFlags:
     def test_frames_repeat_loops_with_monotonic_ids(self, image_dir):
