@@ -30,6 +30,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ip_camera", default="")
     p.add_argument("--flir_camera", action="store_true",
                    help="unsupported (Spinnaker SDK); errors with guidance")
+    p.add_argument("--flir_camera_index", type=int, default=-1,
+                   help="unsupported (Spinnaker SDK, flags.hpp:46)")
+    p.add_argument("--num_gpu", type=int, default=-1,
+                   help="number of devices for the batched mesh; -1 = all "
+                        "(flags.hpp num_gpu; devices = TPU chips here)")
+    p.add_argument("--num_gpu_start", type=int, default=0,
+                   help="first device index (flags.hpp num_gpu_start)")
     p.add_argument("--frame_first", type=int, default=0)
     p.add_argument("--frame_step", type=int, default=1)
     p.add_argument("--frame_last", type=int, default=-1)
@@ -135,6 +142,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--write_coco_json_variants", type=int, default=1,
                    help="bitmask: 1=body 2=foot 4=face 8=hand21 16=hand42; "
                         "<1 = all (flags.hpp write_coco_json_variants)")
+    p.add_argument("--write_coco_json_variant", type=int, default=0,
+                   help="unsupported: car-JSON-only in the reference too "
+                        "(flags.hpp:262; car models are out of scope)")
+    p.add_argument("--ik_threads", type=int, default=0,
+                   help="unsupported: Adam IK ('not available yet' in the "
+                        "reference either, flags.hpp:183)")
     p.add_argument("--part_candidates", action="store_true",
                    help="add all NMS part candidates to the people JSON")
     p.add_argument("--write_heatmaps", default="")
@@ -233,6 +246,23 @@ def fast_path_eligible(args) -> bool:
     return available()
 
 
+def _cli_mesh(args):
+    """--num_gpu/--num_gpu_start -> device mesh (flags.hpp:69-71: the
+    reference's per-GPU replica count; here the mesh data-axis size)."""
+    if args.num_gpu < 0 and args.num_gpu_start == 0:
+        return None                         # default: all devices
+    import jax
+    from openpose_tpu.parallel import mesh as mesh_lib
+    devs = jax.devices()
+    start = args.num_gpu_start
+    n = args.num_gpu if args.num_gpu > 0 else len(devs) - start
+    if start + n > len(devs):
+        raise SystemExit(
+            f"--num_gpu {args.num_gpu} --num_gpu_start {start}: only "
+            f"{len(devs)} devices available")
+    return mesh_lib.make_mesh(devs[start:start + n], model=1)
+
+
 def run_fast_path(args) -> int:
     """Batched disk -> JSON pipeline: the reference's multi-GPU worker graph
     (configureThreadManager, wrapperAuxiliary.hpp:991-1217) as one jitted
@@ -261,6 +291,7 @@ def run_fast_path(args) -> int:
     cp = default_connect_params(PoseModel(args.model_pose),
                                 args.maximize_positives)
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    mesh = _cli_mesh(args)
     whole_body = args.face or args.hand
     if whole_body:
         # batched whole-body cascade on raw frames (runtime/whole_body.py)
@@ -280,7 +311,7 @@ def run_fast_path(args) -> int:
             if args.face else None,
             zoo.load_hand_model(model_folder=args.model_folder or None)
             if args.hand else None,
-            frame_hw=(fh, fw), net_hw=(net_h, net_w),
+            mesh=mesh, frame_hw=(fh, fw), net_hw=(net_h, net_w),
             people_cap=people_cap,
             scale_number=args.scale_number, scale_gap=args.scale_gap,
             face_net_size=parse_resolution(args.face_net_resolution)[1],
@@ -295,7 +326,7 @@ def run_fast_path(args) -> int:
         inference = extractor = None
     else:
         inference = ShardedPoseInference(
-            model, net_hw=(net_h, net_w),
+            model, mesh=mesh, net_hw=(net_h, net_w),
             scale_number=args.scale_number, scale_gap=args.scale_gap,
             nms_threshold=cp.nms_threshold,
             inter_threshold=cp.inter_threshold,
@@ -419,6 +450,16 @@ def main(argv=None) -> int:
             "--write_bvh and --write_video_3d")
     if args.write_bvh and not args.threed:
         raise SystemExit("--write_bvh requires --3d (triangulated keypoints)")
+    if args.write_coco_json_variant != 0:
+        raise SystemExit(
+            "--write_coco_json_variant is car-JSON-only in the reference "
+            "(flags.hpp:262) and car models are out of scope; use "
+            "--write_coco_json_variants for body/foot/face/hand streams")
+    if args.ik_threads > 0:
+        raise SystemExit(
+            "--ik_threads (Adam inverse kinematics) is 'not available yet' "
+            "in the reference and requires the non-redistributable Adam "
+            "model; see --write_bvh for skeletal export")
     if args.threed_views > 1:           # flags.hpp 3d_views == num_views here
         args.num_views = args.threed_views
     if args.write_bvh and (args.num_views <= 1
