@@ -30,16 +30,18 @@ import jax
 import jax.numpy as jnp
 
 
-def _shift2d(x: jax.Array, dy: int, dx: int, fill: jax.Array) -> jax.Array:
-    """x[..., y+dy, x+dx, ...] for NHWC input, filling out-of-range with fill."""
-    n, h, w, c = x.shape
-    padded = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=0.0)
-    shifted = jax.lax.dynamic_slice(padded, (0, 1 + dy, 1 + dx, 0), x.shape)
-    # Mark out-of-range lanes with `fill`
-    ys = jnp.arange(h)[None, :, None, None] + dy
-    xs = jnp.arange(w)[None, None, :, None] + dx
-    valid = (ys >= 0) & (ys < h) & (xs >= 0) & (xs < w)
-    return jnp.where(valid, shifted, fill)
+def _shifted_neighbors(x: jax.Array, fill: jax.Array):
+    """The 8 one-pixel shifts of NHWC `x`, out-of-range lanes = `fill`.
+
+    Pads ONCE with the fill value and takes 8 static slices of the shared
+    padded buffer — XLA fuses the slices into the consuming compares, so
+    the whole 3x3 neighborhood test is a single pass over the heatmap
+    (8 separate pad+where copies cost ~8x the HBM traffic)."""
+    padded = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                     constant_values=fill)
+    return [jax.lax.dynamic_slice(padded, (0, 1 + dy, 1 + dx, 0), x.shape)
+            for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+            if not (dy == 0 and dx == 0)]
 
 
 def _searchsorted_rows(cum: jax.Array, ranks: jax.Array) -> jax.Array:
@@ -107,8 +109,7 @@ def nms(heatmaps: jax.Array, threshold: jax.Array, max_peaks: int = 127,
     n, h, w, c = heat.shape
     thr = jnp.asarray(threshold, jnp.float32)
 
-    neigh = [_shift2d(heat, dy, dx, thr)
-             for dy in (-1, 0, 1) for dx in (-1, 0, 1) if not (dy == 0 and dx == 0)]
+    neigh = _shifted_neighbors(heat, thr)
     gt_all = jnp.ones_like(heat, bool)
     ge_all = jnp.ones_like(heat, bool)
     for nb in neigh:
@@ -152,10 +153,25 @@ def nms(heatmaps: jax.Array, threshold: jax.Array, max_peaks: int = 127,
     cand = jnp.take_along_axis(blocks, blk_id[..., None], axis=2)
     cand = cand.reshape(n, c, k_blocks * bs)
 
+    # Second selection stage, two-level: a flat searchsorted over all
+    # k_blocks*bs candidates costs O(K * k_blocks*bs) compares (~430M at
+    # K=127 — it dominated the whole op); instead find the k-th peak's
+    # BLOCK via per-block counts (K * k_blocks), then its slot within the
+    # 128-wide block via a local rank (K * bs).  ~60x fewer compares.
     ranks = jnp.arange(1, max_peaks + 1, dtype=jnp.int32)
-    cum = jnp.cumsum((cand < big).astype(jnp.int32), axis=-1)
-    pos = jnp.minimum(_searchsorted_rows(cum, ranks), k_blocks * bs - 1)
-    peak_idx = jnp.take_along_axis(cand, pos, axis=-1)  # [N,C,max_peaks]
+    cand_blocks = cand.reshape(n, c, k_blocks, bs)
+    blk_counts = (cand_blocks < big).sum(axis=-1)       # [N,C,B]
+    cum_bc = jnp.cumsum(blk_counts, axis=-1)            # inclusive
+    b_id = jnp.minimum(_searchsorted_rows(cum_bc, ranks), k_blocks - 1)
+    before = jnp.take_along_axis(cum_bc, b_id, axis=-1) \
+        - jnp.take_along_axis(blk_counts, b_id, axis=-1)
+    local_rank = ranks - before                         # [N,C,K], >= 1
+    sel = jnp.take_along_axis(cand_blocks, b_id[..., None], axis=2)
+    local_cum = jnp.cumsum((sel < big).astype(jnp.int32), axis=-1)
+    pos = jnp.minimum(
+        jnp.sum(local_cum < local_rank[..., None], axis=-1), bs - 1)
+    peak_idx = jnp.take_along_axis(
+        sel, pos[..., None], axis=-1)[..., 0]           # [N,C,max_peaks]
     valid = peak_idx < big
     count = valid.sum(axis=-1).astype(jnp.float32)      # [N,C]
     peak_idx = jnp.where(valid, peak_idx, 0)
