@@ -363,7 +363,8 @@ def run_fast_path(args) -> int:
         if keypoint_saver is not None:
             keypoint_saver.save([kp], name, "pose")
         if coco_saver is not None and kp.size:
-            coco_saver.record(kp, sc, json_io.image_id_from_name(name))
+            coco_saver.record(kp, sc, json_io.image_id_from_name(name),
+                              frame_number=res.index)
         if args.cli_verbose > 0 \
                 and (res.index + 1) % max(int(args.cli_verbose), 1) == 0:
             print(f"Processed {res.index + 1} frames")
@@ -389,7 +390,8 @@ def run_fast_path(args) -> int:
                     json_io.image_id_from_name(name),
                     face_keypoints=res.face_keypoints,
                     hand_left_keypoints=res.hand_left_keypoints,
-                    hand_right_keypoints=res.hand_right_keypoints)
+                    hand_right_keypoints=res.hand_right_keypoints,
+                    frame_number=idx)
             if args.cli_verbose > 0 \
                     and (idx + 1) % max(int(args.cli_verbose), 1) == 0:
                 print(f"Processed {idx + 1} frames")
@@ -668,7 +670,8 @@ def main(argv=None) -> int:
                               json_io.image_id_from_name(name),
                               face_keypoints=datum.face_keypoints,
                               hand_left_keypoints=datum.hand_left_keypoints,
-                              hand_right_keypoints=datum.hand_right_keypoints)
+                              hand_right_keypoints=datum.hand_right_keypoints,
+                              frame_number=datum.id)
         if heatmap_saver is not None and datum.heatmaps is not None:
             hm = datum.heatmaps          # primary pass output, no re-forward
             n_parts = wrapper.pose_extractor.info.num_parts

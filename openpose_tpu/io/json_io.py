@@ -114,7 +114,11 @@ class CocoJsonSaver:
         if variants < 1:
             variants = (VARIANT_BODY | VARIANT_FOOT | VARIANT_FACE
                         | VARIANT_HAND21 | VARIANT_HAND42)
-        if foot:  # legacy single-stream foot mode
+        # Legacy internal foot=True mode writes the foot stream at the bare
+        # path; the variants bitmask always applies the _foot suffix
+        # (cocoJsonSaver.cpp ctor opens filePath+"_foot."+extension).
+        self._legacy_foot = bool(foot)
+        if foot:
             variants = VARIANT_FOOT
         self.variants = variants
         self.entries: Dict[int, List[Dict]] = {
@@ -124,14 +128,26 @@ class CocoJsonSaver:
                image_id: int,
                face_keypoints: Optional[np.ndarray] = None,
                hand_left_keypoints: Optional[np.ndarray] = None,
-               hand_right_keypoints: Optional[np.ndarray] = None) -> None:
+               hand_right_keypoints: Optional[np.ndarray] = None,
+               frame_number: Optional[int] = None) -> None:
+        """Append one frame's people to every open variant stream.
+
+        Body/foot entries use the filename-parsed `image_id`; face/hand
+        streams use `frame_number` (reference: cocoJsonSaver.cpp sets
+        imageId = frameNumber and only reassigns it via
+        getLastNumberWithErrorMessage for the Body/Foot/Car streams).
+        """
         if pose_keypoints.size == 0:
             return
+        if frame_number is None:
+            frame_number = image_id
         num_parts = pose_keypoints.shape[1]
         wrists = _WRISTS_BY_PARTS.get(num_parts, (7, 4))
         for person in range(pose_keypoints.shape[0]):
             score = round(float(pose_scores[person]), 6)
             for variant, entries in self.entries.items():
+                entry_id = (image_id if variant in (VARIANT_BODY, VARIANT_FOOT)
+                            else frame_number)
                 pts = self._person_points(
                     variant, num_parts, wrists, pose_keypoints[person],
                     None if face_keypoints is None
@@ -150,7 +166,7 @@ class CocoJsonSaver:
                     flat += [round(float(x), 3) if v else -1.0,
                              round(float(y), 3) if v else -1.0,
                              1 if v else 0]
-                entries.append({"image_id": int(image_id), "category_id": 1,
+                entries.append({"image_id": int(entry_id), "category_id": 1,
                                 "keypoints": flat, "score": score})
 
     @staticmethod
@@ -163,7 +179,13 @@ class CocoJsonSaver:
             return pose[order]
         if variant == VARIANT_FOOT:
             order = _FOOT_ORDER_BY_PARTS.get(num_parts)
-            return None if order is None else pose[order]
+            if order is None:
+                # Reference errors with "Invalid number of body parts" when
+                # the foot stream is fed a footless model (cocoJsonSaver.cpp).
+                raise ValueError(
+                    f"foot COCO stream requested but model has {num_parts} "
+                    "body parts (no foot keypoints)")
+            return pose[order]
         if variant == VARIANT_FACE:
             return None if face is None or face.size == 0 else face[:68]
         if variant == VARIANT_HAND21:
@@ -183,12 +205,10 @@ class CocoJsonSaver:
         p = pathlib.Path(path)
         for variant, entries in self.entries.items():
             suffix = _VARIANT_SUFFIX[variant]
-            if suffix and self.variants != VARIANT_FOOT:
+            if suffix and not self._legacy_foot:
                 out = p.with_name(p.stem + suffix + p.suffix)
-            elif suffix and self.variants == VARIANT_FOOT:
-                out = p            # legacy foot-only mode writes at `path`
             else:
-                out = p
+                out = p            # body stream, or legacy foot-only mode
             with open(out, "w") as f:
                 json.dump(entries, f)
 

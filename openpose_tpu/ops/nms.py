@@ -147,10 +147,14 @@ def nms(heatmaps: jax.Array, threshold: jax.Array, max_peaks: int = 127,
     ranks_b = jnp.arange(1, k_blocks + 1, dtype=jnp.int32)
     cum_blocks = jnp.cumsum((block_first < big).astype(jnp.int32), axis=-1)
     # first block index whose nonempty-rank reaches r, ascending by
-    # construction; rows with fewer nonempty blocks clamp to the last block
-    # (whose entries are `big` pads -> invalid downstream)
+    # construction; rows with fewer nonempty blocks than k_blocks clamp to
+    # the LAST block, which (for small heatmaps, h*w <= k_blocks*bs) can
+    # still hold valid peaks — so those duplicate selections must be masked
+    # out or the duplicated entries would be counted again downstream.
     blk_id = jnp.minimum(_searchsorted_rows(cum_blocks, ranks_b), nb - 1)
+    rank_ok = ranks_b <= cum_blocks[..., -1:]           # [N,C,K]
     cand = jnp.take_along_axis(blocks, blk_id[..., None], axis=2)
+    cand = jnp.where(rank_ok[..., None], cand, big)
     cand = cand.reshape(n, c, k_blocks * bs)
 
     # Second selection stage, two-level: a flat searchsorted over all

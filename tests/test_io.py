@@ -135,6 +135,51 @@ class TestCocoJson:
         with pytest.raises(ValueError):
             json_io.CocoJsonSaver(variants=32)
 
+    def test_foot_variant_always_suffixed(self, tmp_path):
+        # --write_coco_json_variants 2 writes <stem>_foot.<ext>, matching the
+        # reference (cocoJsonSaver.cpp ctor appends "_foot" unconditionally);
+        # only the legacy internal foot=True mode writes at the bare path.
+        kp = np.zeros((1, 25, 3), np.float32)
+        kp[0, 19] = (5, 6, 0.5)
+        saver = json_io.CocoJsonSaver(variants=json_io.VARIANT_FOOT)
+        saver.record(kp, np.array([0.7]), 3)
+        saver.save(str(tmp_path / "v.json"))
+        assert (tmp_path / "v_foot.json").exists()
+        assert not (tmp_path / "v.json").exists()
+        legacy = json_io.CocoJsonSaver(foot=True)
+        legacy.record(kp, np.array([0.7]), 3)
+        legacy.save(str(tmp_path / "l.json"))
+        assert (tmp_path / "l.json").exists()
+        assert not (tmp_path / "l_foot.json").exists()
+
+    def test_face_hand_streams_use_frame_number(self):
+        # Reference: imageId = frameNumber except Body/Foot/Car, which parse
+        # the filename (cocoJsonSaver.cpp getLastNumberWithErrorMessage).
+        saver = json_io.CocoJsonSaver(variants=0)
+        kp = np.zeros((1, 25, 3), np.float32)
+        kp[0, 0] = (10, 20, 0.9)
+        kp[0, 19] = (5, 6, 0.5)
+        kp[0, 4] = (100, 100, 0.9)
+        kp[0, 7] = (200, 200, 0.9)
+        face = np.random.RandomState(0).rand(1, 70, 3).astype(np.float32)
+        hl = np.random.RandomState(1).rand(1, 21, 3).astype(np.float32)
+        hr = np.random.RandomState(2).rand(1, 21, 3).astype(np.float32)
+        saver.record(kp, np.array([0.7]), image_id=192, face_keypoints=face,
+                     hand_left_keypoints=hl, hand_right_keypoints=hr,
+                     frame_number=7)
+        assert saver.entries[json_io.VARIANT_BODY][0]["image_id"] == 192
+        assert saver.entries[json_io.VARIANT_FOOT][0]["image_id"] == 192
+        assert saver.entries[json_io.VARIANT_FACE][0]["image_id"] == 7
+        assert saver.entries[json_io.VARIANT_HAND21][0]["image_id"] == 7
+        assert saver.entries[json_io.VARIANT_HAND42][0]["image_id"] == 7
+
+    def test_foot_variant_on_footless_model_raises(self):
+        saver = json_io.CocoJsonSaver(variants=json_io.VARIANT_FOOT)
+        kp = np.zeros((1, 18, 3), np.float32)   # COCO_18: no foot keypoints
+        kp[0, 0] = (10, 20, 0.9)
+        with pytest.raises(ValueError, match="foot"):
+            saver.record(kp, np.array([0.7]), 3)
+
 
 class TestCocoEval:
     def _gt(self, image_id, xy, area=10000.0):

@@ -44,6 +44,27 @@ class TestNms:
         got2 = np.asarray(nms.nms(heat2[None, :, :, None], 0.05, 10))[0, 0]
         assert got2[0, 0] == 0
 
+    def test_small_map_last_block_no_duplicates(self):
+        # Regression: when the map has fewer nonempty 128-px blocks than
+        # k_blocks, the clamped block selections land on the LAST block,
+        # which for small maps can hold real peaks — those duplicated
+        # selections must not inflate the count or emit duplicate peaks.
+        h, w = 24, 24                      # 576 px -> 5 blocks, k_blocks=5
+        heat = np.zeros((h, w), np.float32)
+        heat[21, 10] = 0.9                 # flat idx 514: inside block 4
+        got = np.asarray(nms.nms(heat[None, :, :, None], 0.05, 127))[0, 0]
+        want = oracle.nms_oracle(heat, 0.05, 127)
+        assert got[0, 0] == want[0, 0] == 1
+        np.testing.assert_allclose(got[1], want[1], atol=1e-4)
+        # and a fuller small map still matches the oracle exactly
+        heat2 = _random_heat(h, w, 5, seed=7)
+        got2 = np.asarray(nms.nms(heat2[None, :, :, None], 0.05, 127))[0, 0]
+        want2 = oracle.nms_oracle(heat2, 0.05, 127)
+        assert got2[0, 0] == want2[0, 0]
+        n = int(want2[0, 0])
+        np.testing.assert_allclose(got2[1:n + 1], want2[1:n + 1],
+                                   rtol=1e-4, atol=1e-4)
+
     def test_max_peaks_cap(self):
         heat = np.zeros((30, 30), np.float32)
         for y in range(2, 28, 3):
