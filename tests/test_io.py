@@ -219,6 +219,165 @@ class TestCocoEval:
         assert res["AP"] < 1.0
 
 
+class TestCocoEvalGolden:
+    """Anchor coco_eval to pycocotools semantics: hand-derived fixture
+    values (expected metrics computed by hand from the published COCO
+    protocol, derivations in comments) + randomized agreement with the
+    line-faithful transcription oracle in tests/coco_oracle.py."""
+
+    @staticmethod
+    def _gt(image_id, xy, area=10000.0, **kw):
+        kp = []
+        for x, y in xy:
+            kp += [x, y, 2]
+        d = {"image_id": image_id, "keypoints": kp, "area": area,
+             "num_keypoints": len(xy)}
+        d.update(kw)
+        return d
+
+    @staticmethod
+    def _det(image_id, xy, score):
+        kp = []
+        for x, y in xy:
+            kp += [x, y, 1]
+        return {"image_id": image_id, "keypoints": kp, "score": score}
+
+    XY = [(50.0 + 10 * i, 60.0 + 5 * i) for i in range(17)]
+    FAR = [(x + 500, y + 400) for x, y in XY]
+
+    def test_single_tp_one_missed_gt(self):
+        # 1 TP det, 2 gts: rc=[0.5], pr=[1].  101-pt interpolation:
+        # searchsorted-left gives p=1 for the 51 recall points <= 0.5 and 0
+        # beyond -> AP = 51/101 per threshold.  AR = 0.5.
+        res = coco_eval.evaluate([self._det(1, self.XY, 0.9)],
+                                 [self._gt(1, self.XY), self._gt(1, self.FAR)])
+        assert res["AP"] == pytest.approx(51 / 101, abs=1e-9)
+        assert res["AR"] == pytest.approx(0.5)
+
+    def test_fp_above_tp(self):
+        # Single gt; dets sorted: FP(0.9) then TP(0.5): rc=[0,1], pr=[0,0.5];
+        # envelope [0.5,0.5]; searchsorted-left puts every recall point at
+        # precision 0.5 -> AP = 0.5 exactly.
+        junk = [(x + 300.0, y) for x, y in self.XY]
+        res = coco_eval.evaluate(
+            [self._det(1, self.XY, 0.5), self._det(1, junk, 0.9)],
+            [self._gt(1, self.XY)])
+        assert res["AP"] == pytest.approx(0.5, abs=1e-9)
+        assert res["AR"] == pytest.approx(1.0)
+
+    def test_double_detection_is_fp(self):
+        # imgA: TP(0.9) + double-det FP(0.8) on the same gt; imgB: TP(0.7).
+        # Global: tp=[1,0,1], fp=[0,1,0] -> rc=[.5,.5,1], pr=[1,.5,2/3];
+        # envelope [1,2/3,2/3] -> AP = (51*1 + 50*2/3)/101.
+        near = [(x + 1.0, y) for x, y in self.XY]
+        res = coco_eval.evaluate(
+            [self._det(1, self.XY, 0.9), self._det(1, near, 0.8),
+             self._det(2, self.XY, 0.7)],
+            [self._gt(1, self.XY), self._gt(2, self.XY)])
+        assert res["AP"] == pytest.approx((51 + 50 * 2 / 3) / 101, abs=1e-9)
+        assert res["AR"] == pytest.approx(1.0)
+
+    def test_crowd_region_ignores_detection(self):
+        # A det inside a crowd gt's expanded bbox is IGNORED (not FP):
+        # pycocotools matches crowds via the box-fallback OKS and marks the
+        # det ignored.  AP must stay 1.0.  (The pre-fix evaluator skipped
+        # crowds entirely -> counted this det as FP -> AP 0.252.)
+        crowd_kp = [0.0, 0.0, 0] * 17
+        crowd = {"image_id": 1, "keypoints": crowd_kp, "area": 40000.0,
+                 "iscrowd": 1, "num_keypoints": 0,
+                 "bbox": [300.0, 300.0, 100.0, 100.0]}
+        inside = [(320.0 + i, 320.0 + i) for i in range(17)]
+        res = coco_eval.evaluate(
+            [self._det(1, self.XY, 0.5), self._det(1, inside, 0.9)],
+            [self._gt(1, self.XY), crowd])
+        assert res["AP"] == pytest.approx(1.0)
+        assert res["AR"] == pytest.approx(1.0)
+
+    def test_zero_keypoint_gt_is_ignore_region(self):
+        # num_keypoints=0 non-crowd gt: not counted in recall denominator,
+        # and a det matching it (box fallback) is ignored, not FP.
+        empty = {"image_id": 1, "keypoints": [0.0, 0.0, 0] * 17,
+                 "area": 2500.0, "num_keypoints": 0,
+                 "bbox": [600.0, 600.0, 50.0, 50.0]}
+        on_empty = [(610.0 + i, 610.0) for i in range(17)]
+        res = coco_eval.evaluate(
+            [self._det(1, self.XY, 0.5), self._det(1, on_empty, 0.9)],
+            [self._gt(1, self.XY), empty])
+        assert res["AP"] == pytest.approx(1.0)
+        assert res["AR"] == pytest.approx(1.0)
+
+    def test_exact_tie_takes_last_gt(self):
+        # pycocotools' matcher updates on `not less than` the running best,
+        # so among EXACTLY tied gts the LAST one wins.  Construct an exact
+        # tie via disjoint visibility: gt1 visible only on kps 0-7, gt2 only
+        # on kps 9-16, det1 sits exactly on both -> OKS = 1.0 to each.
+        # det1 therefore claims gt2 (the later one); det2 (exactly on gt2,
+        # lower score) finds gt2 taken and gt1 at OKS 0 -> FP everywhere.
+        # Per threshold: rc=[0.5,0.5], pr=[1,0.5] -> envelope gives q=1 for
+        # the 51 recall points <= 0.5 -> AP = 51/101 exactly, AR = 0.5.
+        a = [(50.0 + 5 * i, 60.0) for i in range(17)]       # gt1 positions
+        b = [(400.0 + 5 * i, 300.0) for i in range(17)]     # gt2 positions
+        gt1_kp, gt2_kp = [], []
+        det1_xy = []
+        for i in range(17):
+            gt1_kp += [a[i][0], a[i][1], 2 if i <= 7 else 0]
+            gt2_kp += [b[i][0], b[i][1], 2 if i >= 9 else 0]
+            det1_xy.append(a[i] if i <= 7 else b[i])
+        gts = [{"image_id": 1, "keypoints": gt1_kp, "area": 10000.0,
+                "num_keypoints": 8},
+               {"image_id": 1, "keypoints": gt2_kp, "area": 10000.0,
+                "num_keypoints": 8}]
+        res = coco_eval.evaluate(
+            [self._det(1, det1_xy, 0.9), self._det(1, b, 0.8)], gts)
+        assert res["AP"] == pytest.approx(51 / 101, abs=1e-9)
+        assert res["AR"] == pytest.approx(0.5)
+
+    def test_randomized_agreement_with_pycocotools_oracle(self):
+        from tests import coco_oracle
+        rng = np.random.RandomState(0)
+        for trial in range(30):
+            n_img = rng.randint(1, 5)
+            gts, dets = [], []
+            for img in range(1, n_img + 1):
+                for _ in range(rng.randint(0, 4)):
+                    cx, cy = rng.uniform(50, 400, 2)
+                    xy = [(cx + rng.uniform(-40, 40),
+                           cy + rng.uniform(-40, 40)) for _ in range(17)]
+                    kp = []
+                    vis_n = 0
+                    for x, y in xy:
+                        v = int(rng.rand() > 0.2) * 2
+                        vis_n += v > 0
+                        kp += [x, y, v]
+                    gt = {"image_id": img, "keypoints": kp,
+                          "area": float(rng.uniform(500, 40000)),
+                          "num_keypoints": vis_n}
+                    if rng.rand() < 0.2:       # crowd/ignore region
+                        gt["iscrowd"] = 1
+                        gt["num_keypoints"] = 0
+                        gt["keypoints"] = [0.0, 0.0, 0] * 17
+                        gt["bbox"] = [cx, cy, rng.uniform(20, 120),
+                                      rng.uniform(20, 120)]
+                    gts.append(gt)
+                    # detections near this gt (sometimes several, jittered)
+                    for _ in range(rng.randint(0, 3)):
+                        j = rng.uniform(0, 25)
+                        dxy = [(x + rng.uniform(-j, j),
+                                y + rng.uniform(-j, j)) for x, y in xy]
+                        dets.append(self._det(img, dxy,
+                                              float(rng.uniform(0.1, 1.0))))
+                for _ in range(rng.randint(0, 2)):   # pure junk dets
+                    dets.append(self._det(
+                        img, [tuple(rng.uniform(0, 600, 2))
+                              for _ in range(17)],
+                        float(rng.uniform(0.1, 1.0))))
+            got = coco_eval.evaluate(dets, gts)
+            want = coco_oracle.coco_ap_oracle(dets, gts)
+            for key in ("AP", "AP50", "AP75", "AR"):
+                assert got[key] == pytest.approx(want[key], abs=1e-9), \
+                    f"trial {trial} {key}: {got[key]} vs {want[key]}"
+
+
 class TestAsyncPipeline:
     def test_order_preserved_and_overlap(self):
         import time
