@@ -120,6 +120,7 @@ def main() -> None:
           file=sys.stderr)
 
     e2e_fps = _bench_end_to_end()
+    ap = _bench_synthetic_ap(model)
 
     baseline = 22.0
     print(json.dumps({
@@ -129,7 +130,30 @@ def main() -> None:
         "vs_baseline": round(fps / baseline, 3),
         "worst_case_fps": round(1000.0 / worst_frame_ms, 2),
         "e2e_disk_to_keypoints_fps": e2e_fps,
+        "synthetic_ap": ap.get("AP"),
+        "synthetic_ap50": ap.get("AP50"),
+        "synthetic_ar": ap.get("AR"),
     }))
+
+
+def _bench_synthetic_ap(model) -> dict:
+    """Closed-loop synthetic COCO AP through the real user path (sharded
+    program with net-output injection -> assembly -> CocoJsonSaver ->
+    pycocotools-exact evaluator); openpose_tpu/accuracy.py, mirroring the
+    reference protocol scripts/tests/pose_accuracy_coco_val.sh:14-30."""
+    try:
+        from openpose_tpu.accuracy import synthetic_coco_eval
+        _progress("synthetic AP: running closed loop (32 images)")
+        m = synthetic_coco_eval(n_images=32, net_hw=(368, 656), batch=8,
+                                seed=0, model=model)
+        print(f"synthetic AP={m['AP']:.4f} AP50={m['AP50']:.4f} "
+              f"AR={m['AR']:.4f} ({m['n_detections']} dets / "
+              f"{m['n_gt']} gt)", file=sys.stderr)
+        return {k: round(float(v), 4) for k, v in m.items()
+                if k in ("AP", "AP50", "AP75", "AR")}
+    except Exception as exc:          # never sink the headline number
+        _progress(f"synthetic AP failed: {exc!r}")
+        return {}
 
 
 def _bench_end_to_end() -> float:

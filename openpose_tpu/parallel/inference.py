@@ -33,13 +33,22 @@ class ShardedPoseInference:
                  inter_min_above_threshold: float = 0.95,
                  compute_dtype=jnp.bfloat16,
                  scale_number: int = 1, scale_gap: float = 0.25,
-                 frame_hw: Optional[Tuple[int, int]] = None):
+                 frame_hw: Optional[Tuple[int, int]] = None,
+                 net_bypass: bool = False):
         """frame_hw: if given, __call__ takes RAW frames [B, fh, fw, 3] and
         the device program does the aspect-preserving resize to every scale
         itself (exact multi-scale reference semantics: each scale resamples
         the original frame, scaleAndSizeExtractor.cpp:37-112).  If None,
         inputs are pre-resized scale-0 net inputs (upload-minimal path) and
-        smaller scales are derived on-device from the scale-0 canvas."""
+        smaller scales are derived on-device from the scale-0 canvas.
+
+        net_bypass: __call__ takes net-output tensors
+        [B, net_h/8, net_w/8, C] instead of images and the sharded program
+        skips the CNN, running only resize-merge -> NMS -> PAF scoring —
+        the reference's Datum::poseNetOutput injection hook
+        (include/openpose/core/datum.hpp:212-217,
+        poseExtractorCaffe.cpp:249-262) inside the same data-parallel
+        program.  Single-scale only, like the reference hook."""
         self.model = model
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
         self.net_hw = net_hw
@@ -48,6 +57,10 @@ class ShardedPoseInference:
                            inter_min_above_threshold)
         self.compute_dtype = compute_dtype
         self.frame_hw = frame_hw
+        self.net_bypass = net_bypass
+        if net_bypass and (scale_number != 1 or frame_hw is not None):
+            raise ValueError("net_bypass supports only single-scale, "
+                             "pre-sized inputs (like the reference hook)")
         info = model.info
         self._pairs = jnp.asarray(paf.pair_tables(info)[0])
         self._map_idx = jnp.asarray(paf.pair_tables(info)[1])
@@ -85,25 +98,31 @@ class ShardedPoseInference:
         sizes = plan.net_input_sizes
         scales = plan.scale_input_to_net
 
+        bypass = self.net_bypass
+
         def run(params, images):
             from openpose_tpu.models import graph as _graph
             # uint8 frames normalize on-device (XLA fuses the scale/shift
             # into the first conv); shipping uint8 instead of float32
             # quarters host->device transfer volume.
             x = images.astype(jnp.float32)
-            sources = []
-            for (w_i, h_i), s_i in zip(sizes, scales):
-                if raw_frames:
-                    # exact reference path: each scale resamples the frame
-                    net_in = resize.resize_fixed_aspect(x, s_i, (h_i, w_i))
-                elif (w_i, h_i) == (net_w, net_h):
-                    net_in = x
-                else:
-                    # derive from the scale-0 canvas (s_0 == 1 here)
-                    net_in = resize.resize_fixed_aspect(
-                        x, s_i / scales[0], (h_i, w_i))
-                sources.append(_graph.forward(
-                    params, spec, resize.normalize_vgg(net_in), dtype))
+            if bypass:
+                # x IS the net output (poseNetOutput injection)
+                sources = [x]
+            else:
+                sources = []
+                for (w_i, h_i), s_i in zip(sizes, scales):
+                    if raw_frames:
+                        # exact reference path: each scale resamples the frame
+                        net_in = resize.resize_fixed_aspect(x, s_i, (h_i, w_i))
+                    elif (w_i, h_i) == (net_w, net_h):
+                        net_in = x
+                    else:
+                        # derive from the scale-0 canvas (s_0 == 1 here)
+                        net_in = resize.resize_fixed_aspect(
+                            x, s_i / scales[0], (h_i, w_i))
+                    sources.append(_graph.forward(
+                        params, spec, resize.normalize_vgg(net_in), dtype))
             merged = resize.upsample_merge(
                 [s[..., :num_parts] for s in sources], list(scales),
                 (net_h, net_w))

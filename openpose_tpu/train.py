@@ -74,7 +74,14 @@ def make_targets(keypoints: jax.Array, pairs: jax.Array, map_idx: jax.Array,
     py = grid_y[None, None, None] - ay_[..., None, None]
     along = px * ux[..., None, None] + py * uy[..., None, None]
     perp = jnp.abs(px * uy[..., None, None] - py * ux[..., None, None])
-    on_limb = ((along >= 0) & (along <= norm[..., None, None])
+    # The stripe extends one grid cell beyond both endpoints, as in CMU's
+    # openpose_train target renderer (putVecMaps expands the sampled x/y
+    # range by `thre` = 1 cell); without the margin the stride-8 stripe can
+    # end a full cell short of the joint and line-integral samples AT the
+    # peak read near-zero — which fails the 95%-of-samples criterion and
+    # disconnects short limbs (e.g. MidHip->RHip).
+    margin = paf_width * stride
+    on_limb = ((along >= -margin) & (along <= norm[..., None, None] + margin)
                & (perp <= paf_width * stride)
                & pv[..., None, None] & nz[..., None, None])
     # average over people that cover the pixel (reference training averages)
