@@ -91,13 +91,23 @@ def _bilinear_matrix(out_size: int, in_size: int, scale: float,
     return mat.astype(np.float32)
 
 
-def _apply_matrices(x: jax.Array, mh: np.ndarray, mw: np.ndarray) -> jax.Array:
-    """NHWC tensor resample: out[b,y,x,c] = sum_ij mh[y,i] x[b,i,j,c] mw[x,j]."""
+def _apply_matrices(x: jax.Array, mh: np.ndarray, mw: np.ndarray,
+                    precision=None) -> jax.Array:
+    """NHWC tensor resample: out[b,y,x,c] = sum_ij mh[y,i] x[b,i,j,c] mw[x,j].
+
+    precision: pass jax.lax.Precision.HIGHEST for heatmap-path resampling.
+    The TPU MXU multiplies f32 operands in bf16 passes under DEFAULT
+    precision; on near-flat Gaussian tops the quantization makes adjacent
+    upsampled pixels exactly equal, and the strict `>` 3x3 NMS rule then
+    sees a plateau and drops the peak entirely (observed: missing parts and
+    ~1 px peak shifts on device vs the f32 oracle).  Image preprocessing
+    keeps DEFAULT (inputs are 8-bit; the CNN consumes bf16 anyway)."""
     wh = jnp.asarray(mh, x.dtype)
     ww = jnp.asarray(mw, x.dtype)
-    out = jnp.einsum("yi,bijc->byjc", wh, x, preferred_element_type=jnp.float32)
+    out = jnp.einsum("yi,bijc->byjc", wh, x,
+                     preferred_element_type=jnp.float32, precision=precision)
     out = jnp.einsum("xj,byjc->byxc", ww, out.astype(x.dtype),
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32, precision=precision)
     return out
 
 
@@ -110,7 +120,8 @@ def resize_bicubic(x: jax.Array, target_hw: Tuple[int, int]) -> jax.Array:
     th, tw = target_hw
     h, w = x.shape[1], x.shape[2]
     return _apply_matrices(
-        x, _cubic_matrix(th, h, th / h), _cubic_matrix(tw, w, tw / w))
+        x, _cubic_matrix(th, h, th / h), _cubic_matrix(tw, w, tw / w),
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def upsample_merge(sources: Sequence[jax.Array],
@@ -135,7 +146,8 @@ def upsample_merge(sources: Sequence[jax.Array],
         out = _apply_matrices(
             src,
             _cubic_matrix(th, src.shape[1], scale_h),
-            _cubic_matrix(tw, src.shape[2], scale_w))
+            _cubic_matrix(tw, src.shape[2], scale_w),
+            precision=jax.lax.Precision.HIGHEST)
         acc = out if acc is None else acc + out
     return acc / len(sources)
 
