@@ -104,6 +104,13 @@ def build_parser() -> argparse.ArgumentParser:
     # Tracking
     p.add_argument("--tracking", type=int, default=-1)
     p.add_argument("--identification", action="store_true")
+    p.add_argument("--smooth_keyframes", type=int, default=0,
+                   help="pose-graph smoothing over a sliding window of this "
+                        "many keyframes (>= 3): denoises trajectories and "
+                        "inpaints missing detections; adds window//2 frames "
+                        "of output latency (0 = off)")
+    p.add_argument("--smooth_lambda", type=float, default=4.0,
+                   help="acceleration-penalty weight of --smooth_keyframes")
     # 3D
     p.add_argument("--threed", "--3d", dest="threed", action="store_true")
     p.add_argument("--threed_min_views", "--3d_min_views",
@@ -350,13 +357,12 @@ def run_fast_path(args) -> int:
 
     names = {}
 
-    def on_result(res):
-        kp, sc = res.keypoints, res.scores
+    def emit_result(index, kp, sc):
         nmax = args.number_people_max
         if nmax > 0 and kp.shape[0] > nmax:
             order = np.argsort(-sc)[:nmax]          # KeepTopNPeople
             kp, sc = kp[order], sc[order]
-        name = names.get(res.index, f"{res.index:012d}")
+        name = names.get(index, f"{index:012d}")
         if json_dir is not None:
             json_io.save_people_json(
                 str(json_dir / f"{name}_keypoints.json"), pose_keypoints=kp)
@@ -364,10 +370,26 @@ def run_fast_path(args) -> int:
             keypoint_saver.save([kp], name, "pose")
         if coco_saver is not None and kp.size:
             coco_saver.record(kp, sc, json_io.image_id_from_name(name),
-                              frame_number=res.index)
+                              frame_number=index)
         if args.cli_verbose > 0 \
-                and (res.index + 1) % max(int(args.cli_verbose), 1) == 0:
-            print(f"Processed {res.index + 1} frames")
+                and (index + 1) % max(int(args.cli_verbose), 1) == 0:
+            print(f"Processed {index + 1} frames")
+
+    smoother = None
+    if args.smooth_keyframes > 0:
+        from openpose_tpu.tracking.pose_graph import KeyframeSmoother
+        smoother = KeyframeSmoother(window=args.smooth_keyframes,
+                                    smoothness=args.smooth_lambda)
+
+    def on_result(res):
+        # results arrive in frame order (VideoRunner resolves in submission
+        # order), which the sliding-window smoother relies on
+        if smoother is None:
+            emit_result(res.index, res.keypoints, res.scores)
+            return
+        for idx, kp, sc in smoother.push(res.index, res.keypoints,
+                                         res.scores):
+            emit_result(idx, kp, sc)
 
     t0 = time.time()
     if whole_body:
@@ -416,6 +438,9 @@ def run_fast_path(args) -> int:
         results = runner.run_video(args.video, frame_step=args.frame_step,
                                    max_frames=args.max_frames,
                                    on_result=on_result)
+    if smoother is not None:
+        for idx, kp, sc in smoother.flush():
+            emit_result(idx, kp, sc)
     dt = time.time() - t0
     if coco_saver is not None:
         coco_saver.save(args.write_coco_json)
@@ -598,48 +623,19 @@ def main(argv=None) -> int:
         profiler = Profiler(report_every=args.profile_speed)
         wrapper.profiler = profiler   # per-stage pose/face/hand keys
 
+    smoother = None
+    _pending = []
+    if args.smooth_keyframes > 0:
+        from openpose_tpu.tracking.pose_graph import KeyframeSmoother
+        smoother = KeyframeSmoother(window=args.smooth_keyframes,
+                                    smoothness=args.smooth_lambda)
     cameras = producer.cameras
     t_start = time.time()
     n_frames = 0
-    for views in producer.frames():
-        if args.max_frames >= 0 and n_frames >= args.max_frames:
-            break
-        if gui is not None and not gui.state.running:
-            break
-        if gui is not None and gui.state.seek_delta:
-            # bidirectional seek (gui.cpp spVideoSeek atomics): seekable
-            # producers jump; others can only skip forward
-            delta = gui.state.seek_delta
-            gui.state.seek_delta = 0
-            if not producer.request_seek(delta) and delta > 0:
-                gui.state.seek_delta = delta - 1
-                continue
-        # one CNN forward per frame: heatmap consumers reuse the primary
-        # pass's merged output (datum.heatmaps) instead of re-running the net
-        needs_heatmaps = bool(args.write_heatmaps) or args.part_to_show != 0 \
-            or (gui is not None and gui.state.part_to_show != 0)
-        if profiler is not None:
-            profiler.timer_init("process")
-        datums = [wrapper.process(f.image, f.frame_id, f.name,
-                                  keep_heatmaps=needs_heatmaps)
-                  for f in views]
-        if profiler is not None:
-            profiler.timer_end("process")
-        datum = datums[0]
-        if id_extractor is not None and datum.pose_keypoints is not None:
-            datum.pose_ids = id_extractor.extract_ids(
-                datum.pose_keypoints, views[0].image)
-        # 3-D triangulation over views
-        if args.threed and len(views) > 1 and cameras:
-            from openpose_tpu.threed.triangulation import reconstruct_array
-            cams = np.stack([c.full_matrix for c in cameras[:len(views)]])
-            sizes = [(f.image.shape[1], f.image.shape[0]) for f in views]
-            kv = [d.pose_keypoints for d in datums]
-            if all(k is not None and k.size for k in kv):
-                datum.pose_keypoints_3d = reconstruct_array(
-                    kv, cams.astype(np.float32), sizes,
-                    args.threed_min_views if args.threed_min_views > 0 else 0)
 
+    def _emit_datum(datum, views):
+        """Output tail for one frame (savers, render, GUI, UDP).
+        Returns False when the GUI asked to stop."""
         name = datum.name or f"{datum.id:012d}"
         saved_kp = datum.pose_keypoints
         if scale_mode is not None and saved_kp is not None and saved_kp.size:
@@ -748,11 +744,74 @@ def main(argv=None) -> int:
             if gui is not None:
                 gui.update(frame)
                 if not gui.state.running:
-                    break
+                    return False
         if udp is not None:
             udp.send(json_io.people_json(
                 pose_keypoints=datum.pose_keypoints,
                 person_ids=datum.pose_ids))
+        return True
+
+    for views in producer.frames():
+        if args.max_frames >= 0 and n_frames >= args.max_frames:
+            break
+        if gui is not None and not gui.state.running:
+            break
+        if gui is not None and gui.state.seek_delta:
+            # bidirectional seek (gui.cpp spVideoSeek atomics): seekable
+            # producers jump; others can only skip forward
+            delta = gui.state.seek_delta
+            gui.state.seek_delta = 0
+            if not producer.request_seek(delta) and delta > 0:
+                gui.state.seek_delta = delta - 1
+                continue
+        # one CNN forward per frame: heatmap consumers reuse the primary
+        # pass's merged output (datum.heatmaps) instead of re-running the net
+        needs_heatmaps = bool(args.write_heatmaps) or args.part_to_show != 0 \
+            or (gui is not None and gui.state.part_to_show != 0)
+        if profiler is not None:
+            profiler.timer_init("process")
+        datums = [wrapper.process(f.image, f.frame_id, f.name,
+                                  keep_heatmaps=needs_heatmaps)
+                  for f in views]
+        if profiler is not None:
+            profiler.timer_end("process")
+        datum = datums[0]
+        if id_extractor is not None and datum.pose_keypoints is not None:
+            datum.pose_ids = id_extractor.extract_ids(
+                datum.pose_keypoints, views[0].image)
+        # 3-D triangulation over views
+        if args.threed and len(views) > 1 and cameras:
+            from openpose_tpu.threed.triangulation import reconstruct_array
+            cams = np.stack([c.full_matrix for c in cameras[:len(views)]])
+            sizes = [(f.image.shape[1], f.image.shape[0]) for f in views]
+            kv = [d.pose_keypoints for d in datums]
+            if all(k is not None and k.size for k in kv):
+                datum.pose_keypoints_3d = reconstruct_array(
+                    kv, cams.astype(np.float32), sizes,
+                    args.threed_min_views if args.threed_min_views > 0 else 0)
+
+        if smoother is None:
+            if not _emit_datum(datum, views):
+                break
+        else:
+            # pose-graph keyframe smoothing (--smooth_keyframes):
+            # buffer frames and emit once the lookahead half-window
+            # has arrived, with smoothed/inpainted keypoints
+            _pending.append((datum, views))
+            _kp = (datum.pose_keypoints if datum.pose_keypoints
+                   is not None else np.zeros((0, 25, 3), np.float32))
+            _stop = False
+            for _si, _skp, _ssc in smoother.push(n_frames, _kp,
+                                                 datum.pose_scores):
+                d2, v2 = _pending.pop(0)
+                if _skp.size:
+                    d2.pose_keypoints = _skp
+                    d2.pose_scores = _ssc
+                if not _emit_datum(d2, v2):
+                    _stop = True
+                    break
+            if _stop:
+                break
         n_frames += 1
         if args.fps_max > 0:   # WFpsMax (include/openpose/thread/wFpsMax.hpp)
             budget = n_frames / args.fps_max - (time.time() - t_start)
@@ -761,6 +820,17 @@ def main(argv=None) -> int:
         if args.cli_verbose > 0 and n_frames % max(int(args.cli_verbose), 1) == 0:
             print(f"Processed {n_frames} frames "
                   f"({n_frames / (time.time() - t_start):.2f} fps)")
+
+    if smoother is not None:
+        for _si, _skp, _ssc in smoother.flush():
+            if not _pending:
+                break
+            d2, v2 = _pending.pop(0)
+            if _skp.size:
+                d2.pose_keypoints = _skp
+                d2.pose_scores = _ssc
+            if not _emit_datum(d2, v2):
+                break
 
     if video_saver:
         video_saver.close()

@@ -135,3 +135,38 @@ class TestFastPathEndToEnd:
         files = sorted(out.glob("*_keypoints.json"))
         assert [f.name for f in files] == ["frame_001_keypoints.json",
                                            "frame_003_keypoints.json"]
+
+
+@pytest.mark.slow
+class TestSmoothKeyframes:
+    def test_fast_path_smoothing_emits_all_frames(self, tmp_path):
+        from openpose_tpu.io.native_loader import available
+        if not available():
+            pytest.skip("native frame pump not built")
+        d = _write_images(tmp_path)
+        out = tmp_path / "json_sm"
+        rc = cli.main([
+            "--image_dir", str(d), "--write_json", str(out),
+            "--net_resolution", "64x48", "--batch", "4", "--fp32",
+            "--smooth_keyframes", "5"])
+        assert rc == 0
+        files = sorted(out.glob("*_keypoints.json"))
+        assert len(files) == 6           # lookahead delay fully flushed
+        data = json.loads(files[0].read_text())
+        assert data["version"] == 1.3
+
+    def test_main_loop_smoothing_emits_all_frames(self, tmp_path):
+        d = _write_images(tmp_path)
+        out = tmp_path / "json_sm2"
+        img_out = tmp_path / "imgs_out"
+        # --write_images forces the synchronous main loop (fast path
+        # ineligible), exercising the deferred-emission wiring there
+        rc = cli.main([
+            "--image_dir", str(d), "--write_json", str(out),
+            "--write_images", str(img_out),
+            "--net_resolution", "64x48", "--fp32",
+            "--smooth_keyframes", "5"])
+        assert rc == 0
+        files = sorted(out.glob("*_keypoints.json"))
+        assert len(files) == 6
+        assert len(sorted(img_out.glob("*.png"))) == 6

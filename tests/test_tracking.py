@@ -80,3 +80,63 @@ class TestPersonTracker:
         out = tr.track(nxt)
         np.testing.assert_allclose(out[0, :, 0] - kp[0, :, 0], 4.0, atol=0.5)
         np.testing.assert_allclose(out[0, :, 1], 48.0, atol=0.5)
+
+
+class TestKeyframeSmoother:
+    """Streaming pose-graph smoother (--smooth_keyframes user path)."""
+
+    @staticmethod
+    def _linear_tracks(t_total, n_people, parts=25, noise=0.0, seed=0):
+        rng = np.random.RandomState(seed)
+        true = np.zeros((t_total, n_people, parts, 3), np.float32)
+        for t in range(t_total):
+            for p in range(n_people):
+                true[t, p, :, 0] = 100 + 250 * p + 5 * t + np.arange(parts)
+                true[t, p, :, 1] = 80 + 3 * t + 2 * np.arange(parts)
+                true[t, p, :, 2] = 1.0
+        noisy = true.copy()
+        noisy[..., :2] += rng.normal(0, noise, noisy[..., :2].shape)
+        return true, noisy
+
+    def test_ordered_complete_emission(self):
+        from openpose_tpu.tracking.pose_graph import KeyframeSmoother
+        sm = KeyframeSmoother(window=7)
+        _, noisy = self._linear_tracks(10, 1, noise=2.0)
+        got = []
+        for t in range(10):
+            got += sm.push(t, noisy[t], np.array([0.9]))
+        got += sm.flush()
+        assert [g[0] for g in got] == list(range(10))
+
+    def test_denoises_trajectories(self):
+        from openpose_tpu.tracking.pose_graph import KeyframeSmoother
+        true, noisy = self._linear_tracks(14, 2, noise=3.0, seed=1)
+        sm = KeyframeSmoother(window=9)
+        got = []
+        for t in range(14):
+            got += sm.push(t, noisy[t], np.array([0.9, 0.9]))
+        got += sm.flush()
+        err_raw, err_sm = [], []
+        for t, kp, _sc in got:
+            order = np.argsort(kp[:, 0, 0])
+            err_sm.append(np.abs(kp[order][..., :2]
+                                 - true[t][..., :2]).mean())
+            err_raw.append(np.abs(noisy[t][..., :2]
+                                  - true[t][..., :2]).mean())
+        assert np.mean(err_sm) < 0.75 * np.mean(err_raw)
+
+    def test_inpaints_missing_detection(self):
+        from openpose_tpu.tracking.pose_graph import KeyframeSmoother
+        true, noisy = self._linear_tracks(12, 2, noise=1.0, seed=2)
+        sm = KeyframeSmoother(window=7)
+        got = []
+        for t in range(12):
+            det = noisy[t][:1] if t == 6 else noisy[t]   # person 2 drops out
+            got += sm.push(t, det, np.full(det.shape[0], 0.9))
+        got += sm.flush()
+        f6 = next(g for g in got if g[0] == 6)
+        assert f6[1].shape[0] == 2        # inpainted back
+        p2 = f6[1][np.argsort(f6[1][:, 0, 0])][1]
+        assert np.abs(p2[:, :2] - true[6, 1, :, :2]).mean() < 4.0
+        # the inpainted person's emitted score is 0 (no real detection)
+        assert f6[2][np.argsort(f6[1][:, 0, 0])][1] == 0.0
