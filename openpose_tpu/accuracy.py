@@ -135,6 +135,64 @@ def synthetic_coco_eval(n_images: int = 64,
     return metrics
 
 
+def train_to_ap(steps: int = 1500,
+                image_size: Tuple[int, int] = (184, 328),
+                batch: int = 8,
+                learning_rate: float = 1e-4,
+                n_eval: int = 16,
+                people_range: Tuple[int, int] = (1, 3),
+                seed: int = 0,
+                checkpoint_dir: str = "",
+                verbose: bool = True) -> Dict[str, float]:
+    """Train BODY_25 from scratch on rendered synthetic scenes, then measure
+    COCO AP of the trained net through the FULL pipeline on held-out scenes.
+
+    Turns "loss decreases" into "training produces a net the pipeline can
+    decode": train (train_loop.train, sharded step) -> held-out rendered
+    images -> real CNN forward -> NMS -> PAF -> assembly -> CocoJsonSaver ->
+    pycocotools-exact AP.  The synthetic drawing domain (color-coded joints
+    and limbs) is learnable by the CPM/PAF architecture in O(10^3) steps.
+    """
+    import dataclasses
+    import tempfile
+    import jax
+    from openpose_tpu import train_loop
+    from openpose_tpu.params import POSE_MODEL_INFO
+
+    config = train_loop.TrainConfig(
+        model=PoseModel.BODY_25, image_size=image_size, batch_size=batch,
+        learning_rate=learning_rate, steps=steps, checkpoint_every=steps,
+        checkpoint_dir=checkpoint_dir or tempfile.mkdtemp(prefix="t2ap_"))
+    data = train_loop.synthetic_scene_iterator(config, seed=seed,
+                                               people_range=people_range)
+    state = train_loop.train(config, data, verbose=verbose)
+    params = jax.device_get(state.params)
+
+    base = zoo.load_pose_model(PoseModel.BODY_25)
+    import dataclasses as _dc
+    trained = _dc.replace(base, params=params)
+    extractor = PoseExtractor(trained, compute_dtype=jnp.float32)
+
+    h, w = image_size
+    rng = np.random.RandomState(seed + 1)            # held-out scenes
+    saver = json_io.CocoJsonSaver()
+    gts: List[Dict] = []
+    hr = (max(80.0, h * 0.45), h * 0.9)
+    for image_id in range(n_eval):
+        people = scenes.random_people(
+            rng, rng.randint(people_range[0], people_range[1] + 1),
+            (h, w), height_range=hr, min_spacing=60.0)
+        gts.extend(scenes.coco_ground_truth(people, image_id))
+        img = scenes.render_scene_image(people, (h, w), rng=rng)
+        pred = extractor.forward(img.astype(np.float32),
+                                 net_resolution=(w, h))
+        if pred.keypoints.size:
+            saver.record(pred.keypoints, pred.scores, image_id)
+    metrics = coco_eval.evaluate(saver.entries[json_io.VARIANT_BODY], gts)
+    metrics.update(steps=steps, n_eval=n_eval)
+    return metrics
+
+
 def noise_sweep(levels=(0.0, 0.1, 0.2, 0.4), **kw) -> List[Dict[str, float]]:
     """AP at each (correlated) map-noise level."""
     model = kw.pop("model", None) or zoo.load_pose_model(PoseModel.BODY_25)

@@ -86,6 +86,51 @@ def random_people(rng: np.random.RandomState, n_people: int,
     return people
 
 
+def render_scene_image(people: np.ndarray, frame_hw: Tuple[int, int],
+                       background_noise: float = 8.0,
+                       rng: np.random.RandomState = None) -> np.ndarray:
+    """Render [H, W, 3] uint8 BGR image of the skeletons for TRAINING.
+
+    Joints are disks color-coded by part index (HSV hue wheel) and limbs are
+    lines colored by their pair index — a learnable synthetic domain: the
+    CNN must map the drawn geometry back to part heatmaps + PAFs, closing
+    the train->detect->assemble->AP loop without real photos."""
+    import cv2
+    h, w = frame_hw
+    img = np.zeros((h, w, 3), np.uint8)
+    if rng is not None and background_noise > 0:
+        img[:] = np.clip(rng.normal(24, background_noise, (h, w, 3)),
+                         0, 64).astype(np.uint8)
+    n_parts = people.shape[1] if people.size else 25
+    pairs = BODY25_DRAW_PAIRS if n_parts == 25 else \
+        [(a, b) for a, b in BODY25_DRAW_PAIRS if a < n_parts and b < n_parts]
+
+    def hue_color(idx, total, s=255, v=255):
+        hsv = np.uint8([[[int(180 * idx / total), s, v]]])
+        return tuple(int(c) for c in cv2.cvtColor(hsv,
+                                                  cv2.COLOR_HSV2BGR)[0, 0])
+
+    for person in people:
+        for li, (a, b) in enumerate(pairs):
+            if person[a, 2] > 0 and person[b, 2] > 0:
+                cv2.line(img, tuple(person[a, :2].astype(int)),
+                         tuple(person[b, :2].astype(int)),
+                         hue_color(li, len(pairs), s=140, v=170), 2)
+        for part in range(n_parts):
+            if person[part, 2] > 0:
+                cv2.circle(img, tuple(person[part, :2].astype(int)), 4,
+                           hue_color(part, n_parts), -1)
+    return img
+
+
+# Limb drawing pairs (BODY_25 assembly pairs, poseParameters.cpp:416-422)
+BODY25_DRAW_PAIRS = [
+    (1, 8), (1, 2), (1, 5), (2, 3), (3, 4), (5, 6), (6, 7), (8, 9),
+    (9, 10), (10, 11), (8, 12), (12, 13), (13, 14), (1, 0), (0, 15),
+    (15, 17), (0, 16), (16, 18), (14, 19), (19, 20), (14, 21), (11, 22),
+    (22, 23), (11, 24)]
+
+
 def coco_ground_truth(people: np.ndarray, image_id: int) -> List[Dict]:
     """COCO annotation dicts (17-kp order, visibility 2, bbox area) for the
     [n, 25, 3] keypoints of one frame."""

@@ -101,14 +101,21 @@ def make_targets(keypoints: jax.Array, pairs: jax.Array, map_idx: jax.Array,
 
 
 def loss_fn(params, spec: NetSpec, images: jax.Array, targets: jax.Array,
-            compute_dtype=jnp.bfloat16) -> jax.Array:
+            compute_dtype=jnp.float32) -> jax.Array:
     """Mean squared error between net output and rendered targets."""
     pred = graph.forward(params, spec, images, compute_dtype)
     return jnp.mean((pred - targets) ** 2)
 
 
 def make_train_step(spec: NetSpec, optimizer: optax.GradientTransformation,
-                    compute_dtype=jnp.bfloat16):
+                    compute_dtype=jnp.float32):
+    """compute_dtype defaults to f32 for TRAINING: under XLA's DEFAULT
+    precision the TPU MXU multiplies f32 conv operands in the same
+    single-pass bf16 as explicit bf16 inputs (same speed), while keeping
+    the autodiff graph dtype-consistent — conv_general_dilated's transpose
+    rejects a bf16 operand against the f32 cotangent produced by
+    preferred_element_type=f32.  Inference keeps bf16 activations (halves
+    HBM traffic on the memory-bound stride-1 head)."""
     """Build a jittable (state, images, targets) -> (state, loss) step."""
 
     def step(state: TrainState, images, targets):

@@ -102,6 +102,35 @@ def coco_data_iterator(images_dir: str, annotations_json: str,
         yield batch_imgs, batch_kps
 
 
+def synthetic_scene_iterator(config: TrainConfig, seed: int = 0,
+                             people_range: Tuple[int, int] = (1, 3)
+                             ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Yield rendered synthetic scenes (images + keypoints) endlessly.
+
+    The synthetic-domain counterpart of coco_data_iterator: skeletons drawn
+    as color-coded joints/limbs (scenes.render_scene_image) with matching
+    keypoint annotations — enough to demonstrate that training produces a
+    net the full pipeline can decode to AP (see accuracy.train_to_ap)."""
+    from openpose_tpu import scenes
+    rng = np.random.RandomState(seed)
+    h, w = config.image_size
+    n_parts = POSE_MODEL_INFO[config.model].num_parts
+    hr = (max(80.0, h * 0.45), h * 0.9)
+    while True:
+        imgs = np.zeros((config.batch_size, h, w, 3), np.float32)
+        kps = np.zeros((config.batch_size, config.max_people, n_parts, 3),
+                       np.float32)
+        for b in range(config.batch_size):
+            people = scenes.random_people(
+                rng, rng.randint(people_range[0], people_range[1] + 1),
+                (h, w), height_range=hr, min_spacing=60.0)
+            if n_parts < 25:
+                people = people[:, :n_parts]
+            kps[b, :people.shape[0]] = people
+            imgs[b] = scenes.render_scene_image(people, (h, w), rng=rng)
+        yield imgs, kps
+
+
 def train(config: TrainConfig, data: Iterator, verbose: bool = True):
     """Run the training loop on the available devices; returns final state."""
     import jax

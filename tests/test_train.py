@@ -91,3 +91,62 @@ class TestCocoConversion:
         np.testing.assert_allclose(out[0, 8, :2], (20, 60))   # midhip
         np.testing.assert_allclose(out[0, 0, :2], (20, 5))    # nose
         assert out[1].sum() == 0
+
+
+class TestFlopCount:
+    def test_body25_flops_match_hand_count(self):
+        from openpose_tpu.models import graph, zoo
+        m = zoo.load_pose_model(PoseModel.BODY_25)
+        fl = graph.count_flops(m.spec, (368, 656))
+        total = sum(fl.values())
+        # ~287 GFLOP/frame at the headline resolution (2*MACs)
+        assert 280e9 < total < 295e9, total
+        # conv4_2 (512ch 3x3 at stride-8 resolution... actually stride-4):
+        # spot-check one layer against the closed form
+        # conv1_1: 3->64, 3x3, 368x656 output
+        assert fl["conv1_1"] == 2 * 9 * 3 * 64 * 368 * 656
+
+    def test_flops_scale_with_resolution(self):
+        from openpose_tpu.models import graph, zoo
+        m = zoo.load_pose_model(PoseModel.BODY_25)
+        a = sum(graph.count_flops(m.spec, (368, 656)).values())
+        b = sum(graph.count_flops(m.spec, (184, 328)).values())
+        assert 3.5 < a / b < 4.5
+
+
+class TestSyntheticScenes:
+    def test_render_scene_image(self):
+        from openpose_tpu import scenes
+        rng = np.random.RandomState(0)
+        people = scenes.random_people(rng, 2, (96, 160))
+        img = scenes.render_scene_image(people, (96, 160), rng=rng)
+        assert img.shape == (96, 160, 3) and img.dtype == np.uint8
+        assert img.max() > 100          # skeleton drawn
+
+    def test_synthetic_iterator_shapes(self):
+        from openpose_tpu import train_loop
+        cfg = train_loop.TrainConfig(image_size=(96, 160), batch_size=2,
+                                     max_people=4)
+        it = train_loop.synthetic_scene_iterator(cfg, seed=0)
+        imgs, kps = next(it)
+        assert imgs.shape == (2, 96, 160, 3)
+        assert kps.shape == (2, 4, 25, 3)
+        assert kps[..., 2].max() == 1.0
+
+    def test_bf16_train_step_differentiates(self):
+        # the f32-default step must also work explicitly (regression for the
+        # conv transpose dtype mismatch under preferred_element_type)
+        info = POSE_MODEL_INFO[PoseModel.MPI_15_4]
+        spec = graph.load_spec(info.spec)
+        optimizer = optax.adam(1e-3)
+        state = train.init_train_state(spec, optimizer, jax.random.PRNGKey(0))
+        pairs = jnp.asarray(paf_ops.pair_tables(info)[0])
+        map_idx = jnp.asarray(paf_ops.pair_tables(info)[1])
+        kp = np.zeros((1, 1, info.num_parts, 3), np.float32)
+        kp[0, 0, :, :] = (20.0, 20.0, 1.0)
+        targets = train.make_targets(jnp.asarray(kp), pairs, map_idx,
+                                     (48, 48), info.num_parts,
+                                     info.heatmap_channels)
+        step = jax.jit(train.make_train_step(spec, optimizer))
+        state, loss = step(state, jnp.zeros((1, 48, 48, 3)), targets)
+        assert np.isfinite(float(loss))
