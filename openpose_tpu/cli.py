@@ -111,6 +111,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "of output latency (0 = off)")
     p.add_argument("--smooth_lambda", type=float, default=4.0,
                    help="acceleration-penalty weight of --smooth_keyframes")
+    p.add_argument("--top_down_refinement", action="store_true",
+                   help="re-run the net on each detected person's ROI and "
+                        "replace keypoints when the refined candidate "
+                        "matches (the reference's experimental compile-time "
+                        "TOP_DOWN_REFINEMENT, poseExtractorCaffe.cpp:340)")
     # 3D
     p.add_argument("--threed", "--3d", dest="threed", action="store_true")
     p.add_argument("--threed_min_views", "--3d_min_views",
@@ -233,6 +238,7 @@ def fast_path_eligible(args) -> bool:
             or args.write_heatmaps or args.write_video_3d or args.write_bvh):
         return False
     if (args.threed or args.tracking >= 0
+            or getattr(args, "top_down_refinement", False)
             or args.identification or args.part_candidates
             or args.num_views > 1 or args.frames_repeat
             or args.process_real_time or args.fps_max > 0
@@ -539,7 +545,8 @@ def main(argv=None) -> int:
             alpha_keypoint=args.alpha_pose,
             blend_original=not args.disable_blending,
             tracking=args.tracking,
-            part_candidates=args.part_candidates),
+            part_candidates=args.part_candidates,
+            top_down_refinement=args.top_down_refinement),
         face=FaceConfig(enable=args.face,
                         caffemodel=args.face_caffemodel_path or None,
                         net_resolution=parse_resolution(

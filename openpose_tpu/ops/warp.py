@@ -22,22 +22,26 @@ import jax.numpy as jnp
 
 @functools.partial(jax.jit, static_argnames=("out_size",))
 def crop_affine_batch(image: jax.Array, transforms: jax.Array,
-                      out_size: int = 368) -> jax.Array:
+                      out_size=368) -> jax.Array:
     """image: [H, W, 3] float; transforms: [P, 4] rows (sx, sy, tx, ty)
     meaning src_x = sx*dst_x + tx, src_y = sy*dst_y + ty.
-    Returns [P, out_size, out_size, 3]; out-of-image samples are 0.
+    out_size: int (square) or (out_h, out_w).
+    Returns [P, out_h, out_w, 3]; out-of-image samples are 0.
     """
+    out_h, out_w = (out_size, out_size) if isinstance(out_size, int) \
+        else out_size
     h, w = image.shape[0], image.shape[1]
-    grid = jnp.arange(out_size, dtype=jnp.float32)
+    gx = jnp.arange(out_w, dtype=jnp.float32)
+    gy = jnp.arange(out_h, dtype=jnp.float32)
 
     sx = transforms[:, 0][:, None, None]
     sy = transforms[:, 1][:, None, None]
     tx = transforms[:, 2][:, None, None]
     ty = transforms[:, 3][:, None, None]
-    src_x = sx * grid[None, None, :] + tx          # [P, 1, S] -> bcast
-    src_y = sy * grid[None, :, None] + ty          # [P, S, 1]
-    src_x = jnp.broadcast_to(src_x, (transforms.shape[0], out_size, out_size))
-    src_y = jnp.broadcast_to(src_y, (transforms.shape[0], out_size, out_size))
+    src_x = sx * gx[None, None, :] + tx            # [P, 1, W] -> bcast
+    src_y = sy * gy[None, :, None] + ty            # [P, H, 1]
+    src_x = jnp.broadcast_to(src_x, (transforms.shape[0], out_h, out_w))
+    src_y = jnp.broadcast_to(src_y, (transforms.shape[0], out_h, out_w))
 
     x0 = jnp.floor(src_x)
     y0 = jnp.floor(src_y)

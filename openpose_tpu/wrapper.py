@@ -45,6 +45,8 @@ class PoseConfig:
     tracking: int = -1                            # ~ --tracking: CNN every
                                                   # N+1 frames, LK in between
     part_candidates: bool = False                 # ~ --part_candidates
+    top_down_refinement: bool = False             # ~ reference compile-time
+                                                  # TOP_DOWN_REFINEMENT pass
 
 
 @dataclasses.dataclass
@@ -195,6 +197,11 @@ class Wrapper:
                     keep_heatmaps=keep_heatmaps,
                     net_resolution_dynamic=self.pose_cfg.net_resolution_dynamic)
                 kp, sc = pred.keypoints, pred.scores
+                if self.pose_cfg.top_down_refinement and kp.shape[0]:
+                    from openpose_tpu.pose.refine import refine_prediction
+                    pred = refine_prediction(self.pose_extractor, image,
+                                             pred)
+                    kp, sc = pred.keypoints, pred.scores
                 if keep_heatmaps:
                     datum.heatmaps = pred.heatmaps
                 if self.pose_cfg.part_candidates and pred.peaks is not None:
