@@ -12,6 +12,20 @@ import os
 _DEFAULT_DIR = os.path.expanduser("~/.cache/openpose_tpu_xla")
 
 
+def _machine_tag() -> str:
+    """Short hash of the host CPU feature flags (stable per machine)."""
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.md5(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+    return hashlib.md5(platform.processor().encode()).hexdigest()[:10]
+
+
 def enable_persistent_cache(cache_dir: str | None = None) -> bool:
     """Best-effort: turn on the JAX persistent compilation cache.
 
@@ -22,6 +36,10 @@ def enable_persistent_cache(cache_dir: str | None = None) -> bool:
 
     path = cache_dir or os.environ.get("OPENPOSE_TPU_XLA_CACHE", _DEFAULT_DIR)
     try:
+        # Partition by host CPU features: XLA:CPU AOT entries baked for a
+        # different microarchitecture load with "could lead to SIGILL"
+        # warnings when the cache directory moves between machines.
+        path = os.path.join(path, _machine_tag())
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
