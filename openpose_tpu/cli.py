@@ -190,7 +190,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--write_video_3d", default="",
                    help="render triangulated skeletons to a 3D video")
     p.add_argument("--display", type=int, default=0,
-                   help="2 = OpenCV window (needs a display); 0 = headless")
+                   help="2 = OpenCV window; 3 = 2D window + live 3-D "
+                        "viewer with mouse rotation (reference Gui3D); "
+                        "0 = headless")
     p.add_argument("--fullscreen", action="store_true",
                    help="start the GUI window fullscreen")
     p.add_argument("--no_gui_verbose", action="store_true",
@@ -611,6 +613,10 @@ def main(argv=None) -> int:
         if args.udp_host else None
 
     gui = None
+    gui3d = None
+    if args.display == 3:
+        from openpose_tpu.render.gui3d import Gui3D
+        gui3d = Gui3D(PoseModel(args.model_pose))
     if args.display:
         from openpose_tpu.render.gui import Gui
         gui = Gui()
@@ -711,6 +717,8 @@ def main(argv=None) -> int:
             img3d = render_skeleton_3d(datum.pose_keypoints_3d,
                                        wrapper.pose_cfg.model)
             video3d_saver.write(img3d[..., ::-1])  # RGB -> BGR
+        if gui3d is not None:
+            gui3d.update(datum.pose_keypoints_3d)
         if image_saver or video_saver or args.display:
             if gui is not None:
                 args.part_to_show = gui.state.part_to_show
@@ -853,6 +861,8 @@ def main(argv=None) -> int:
         udp.close()
     if gui is not None:
         gui.close()
+    if gui3d is not None:
+        gui3d.close()
     dt = time.time() - t_start
     if profiler is not None:
         print(profiler.report())

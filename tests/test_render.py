@@ -123,3 +123,25 @@ class TestAlphaBlending:
         assert not background.any()     # original pixels gone
         assert out.sum() > 0            # skeleton drawn on black
         assert (out == 0).all(axis=-1).mean() > 0.9  # mostly black canvas
+
+
+class TestGui3DViewer:
+    def test_update_and_frame_headless(self):
+        from openpose_tpu.render.gui3d import Gui3D
+        from openpose_tpu.params import PoseModel
+        g = Gui3D(PoseModel.BODY_25, live=False)
+        kp = np.zeros((1, 25, 4), np.float32)
+        kp[0, :, 0] = np.linspace(-0.2, 0.2, 25)
+        kp[0, :, 1] = np.linspace(-0.8, 0.8, 25)
+        kp[0, :, 2] = 2.0
+        kp[0, :, 3] = 0.9
+        g.update(kp)
+        img = g.frame()
+        assert img.ndim == 3 and img.shape[2] == 3
+        assert img.std() > 0          # something drawn
+        # rotation state preserved across updates
+        g.ax.view_init(elev=44.0, azim=13.0)
+        g.update(kp)
+        assert g.ax.elev == 44.0 and round(float(g.ax.azim)) == 13
+        g.update(None)                # no 3D data: clears without error
+        g.close()
