@@ -117,9 +117,22 @@ class WrapperPython:
             datum.cvOutputData = self._wrapper.render(d)
         return True
 
-    def execute(self) -> None:
-        raise NotImplementedError(
-            "execute() (full CLI-style run) -> use python -m openpose_tpu.cli")
+    def execute(self) -> int:
+        """Run the full CLI-style pipeline from the configured params until
+        the producer is exhausted (the reference's WrapperPython::exec,
+        openpose_python.cpp:205-214: blocks processing --image_dir/--video
+        with all output writers).  Params map 1:1 to the CLI flag surface;
+        returns the CLI exit code."""
+        from openpose_tpu import cli
+        argv = []
+        for key, value in self._params.items():
+            flag = f"--{key}"
+            if isinstance(value, bool):
+                if value:
+                    argv.append(flag)
+            else:
+                argv += [flag, str(value)]
+        return cli.main(argv)
 
 
 # Model info helpers (openpose_python.cpp:60-80)

@@ -69,3 +69,25 @@ class TestPyOpenPoseShim:
         wrapper = op.WrapperPython()
         with pytest.raises(RuntimeError, match="start"):
             wrapper.emplaceAndPop([op.Datum()])
+
+
+class TestPyopenposeExecute:
+    def test_execute_runs_cli_pipeline(self, tmp_path):
+        import cv2
+        import json
+        from openpose_tpu import pyopenpose as op
+        d = tmp_path / "imgs"
+        d.mkdir()
+        rng = np.random.RandomState(0)
+        for i in range(2):
+            cv2.imwrite(str(d / f"f_{i:03d}.png"),
+                        rng.randint(0, 255, (48, 64, 3), np.uint8))
+        out = tmp_path / "json"
+        w = op.WrapperPython()
+        w.configure({"image_dir": str(d), "write_json": str(out),
+                     "net_resolution": "64x48", "fp32": True, "batch": 1})
+        rc = w.execute()
+        assert rc == 0
+        files = sorted(out.glob("*_keypoints.json"))
+        assert len(files) == 2
+        assert json.loads(files[0].read_text())["version"] == 1.3
