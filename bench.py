@@ -88,7 +88,9 @@ def main() -> None:
 
     def _post(src, fast_peaks):
         merged = resize.resize_bicubic(src[..., :num_parts], (net_h, net_w))
-        peaks = nms.nms(merged, 0.05, POSE_MAX_PEOPLE)
+        nms_tiers = (16, 48) if fast_peaks else ()
+        peaks = nms.nms(merged, 0.05, POSE_MAX_PEOPLE,
+                        fast_peaks=nms_tiers)
         scores = paf.paf_scores_multiscale(
             (src,), (1.0,), (net_h, net_w), peaks, pairs, map_idx,
             0.05, 0.95, 0.05, fast_peaks=fast_peaks)

@@ -97,13 +97,24 @@ def _refine_at_peaks(heat: jax.Array, peak_idx: jax.Array,
     return x_ref, y_ref, value
 
 
-@functools.partial(jax.jit, static_argnames=("max_peaks", "offset"))
+@functools.partial(jax.jit, static_argnames=("max_peaks", "offset",
+                                             "fast_peaks"))
 def nms(heatmaps: jax.Array, threshold: jax.Array, max_peaks: int = 127,
-        offset: Tuple[float, float] = (0.5, 0.5)) -> jax.Array:
+        offset: Tuple[float, float] = (0.5, 0.5),
+        fast_peaks: Tuple[int, ...] = (16, 48)) -> jax.Array:
     """Extract peaks from [N, H, W, C] part heatmaps.
 
     Returns [N, C, max_peaks+1, 3] float32; [n, c, 0, 0] is the count,
     slots 1..count are (x, y, score) in row-major discovery order.
+
+    fast_peaks: tier ladder for the sub-pixel refinement (same pattern as
+    paf.paf_scores_multiscale).  The refinement fetches 7 heatmap rows per
+    peak SLOT; at the static max_peaks=127 that is ~470 MB of HBM traffic
+    per batch-8 call even when frames carry a handful of peaks — it
+    dominated the whole post chain (~2.1 ms/frame measured).  Nested
+    lax.cond picks the smallest tier covering this batch's true max count;
+    slots beyond the tier are invalid by construction (count <= k), so
+    refining only the leading k slots is exact.  Pass () to disable.
     """
     heat = heatmaps.astype(jnp.float32)
     n, h, w, c = heat.shape
@@ -180,11 +191,32 @@ def nms(heatmaps: jax.Array, threshold: jax.Array, max_peaks: int = 127,
     count = valid.sum(axis=-1).astype(jnp.float32)      # [N,C]
     peak_idx = jnp.where(valid, peak_idx, 0)
 
-    x_ref, y_ref, value = _refine_at_peaks(heat, peak_idx, offset)
-    px = jnp.where(valid, x_ref, 0.0)
-    py = jnp.where(valid, y_ref, 0.0)
-    ps = jnp.where(valid, value, 0.0)
+    def refined(k):
+        """Refine the leading k slots, zero-pad the rest (exact when the
+        true count <= k everywhere)."""
+        x_ref, y_ref, value = _refine_at_peaks(heat, peak_idx[:, :, :k],
+                                               offset)
+        vk = valid[:, :, :k]
+        peaks_k = jnp.stack([jnp.where(vk, x_ref, 0.0),
+                             jnp.where(vk, y_ref, 0.0),
+                             jnp.where(vk, value, 0.0)], axis=-1)
+        return jnp.pad(peaks_k,
+                       ((0, 0), (0, 0), (0, max_peaks - k), (0, 0)))
 
-    peaks = jnp.stack([px, py, ps], axis=-1)            # [N,C,max_peaks,3]
+    tiers = tuple(k for k in sorted(fast_peaks) if 0 < k < max_peaks)
+    if not tiers:
+        peaks = refined(max_peaks)
+    else:
+        max_count = jnp.max(count)
+
+        def tiered(remaining):
+            if not remaining:
+                return lambda _: refined(max_peaks)
+            k = remaining[0]
+            return lambda _: jax.lax.cond(
+                max_count <= k, lambda __: refined(k),
+                tiered(remaining[1:]), 0)
+        peaks = tiered(tiers)(0)
+
     header = jnp.zeros((n, c, 1, 3), jnp.float32).at[:, :, 0, 0].set(count)
     return jnp.concatenate([header, peaks], axis=2)
