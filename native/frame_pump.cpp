@@ -198,9 +198,10 @@ class FramePump {
 class VideoPump {
   public:
     VideoPump(const char* path, int threads, int capacity,
-              int net_w, int net_h, int frame_step)
+              int net_w, int net_h, int frame_step, int frame_offset = 0)
         : capacity_(capacity), net_w_(net_w), net_h_(net_h),
-          step_(frame_step < 1 ? 1 : frame_step), cap_(path) {
+          step_(frame_step < 1 ? 1 : frame_step),
+          offset_(frame_offset < 0 ? 0 : frame_offset), cap_(path) {
         if (!cap_.isOpened()) {
             failed_ = true;
             return;
@@ -266,15 +267,28 @@ class VideoPump {
         long seq = 0;
         long raw_index = 0;
         for (;;) {
-            cv::Mat frame;
-            if (!cap_.read(frame)) {
+            // grab() advances the stream without JPEG-decoding the frame;
+            // retrieve() decodes only kept frames — stepped/striped readers
+            // (frame_step N, offset k) pay 1/N of the decode cost, which is
+            // what makes StripedVideoPump scale single-stream decode.
+            if (!cap_.grab()) {
                 std::lock_guard<std::mutex> lock(mutex_);
                 eof_ = true;
                 cv_results_.notify_all();
                 return;
             }
-            if (raw_index++ % step_ != 0)
+            const bool keep = raw_index >= offset_
+                && (raw_index - offset_) % step_ == 0;
+            raw_index++;
+            if (!keep)
                 continue;
+            cv::Mat frame;
+            if (!cap_.retrieve(frame)) {
+                std::lock_guard<std::mutex> lock(mutex_);
+                eof_ = true;
+                cv_results_.notify_all();
+                return;
+            }
             std::unique_lock<std::mutex> lock(mutex_);
             cv_space_.wait(lock, [this] {
                 return stopping_ || in_flight_ < capacity_;
@@ -323,7 +337,7 @@ class VideoPump {
         }
     }
 
-    const int capacity_, net_w_, net_h_, step_;
+    const int capacity_, net_w_, net_h_, step_, offset_;
     cv::VideoCapture cap_;
     bool failed_ = false;
     int src_w_ = 0, src_h_ = 0;
@@ -349,6 +363,17 @@ void* vp_create(const char* path, int threads, int capacity,
                 int net_w, int net_h, int frame_step) {
     auto* vp = new VideoPump(path, threads, capacity, net_w, net_h,
                              frame_step);
+    if (vp->failed()) {
+        delete vp;
+        return nullptr;
+    }
+    return vp;
+}
+
+void* vp_create2(const char* path, int threads, int capacity,
+                 int net_w, int net_h, int frame_step, int frame_offset) {
+    auto* vp = new VideoPump(path, threads, capacity, net_w, net_h,
+                             frame_step, frame_offset);
     if (vp->failed()) {
         delete vp;
         return nullptr;

@@ -45,6 +45,8 @@ def _load():
         lib.fp_destroy.argtypes = [ctypes.c_void_p]
         lib.vp_create.restype = ctypes.c_void_p
         lib.vp_create.argtypes = [ctypes.c_char_p] + [ctypes.c_int] * 5
+        lib.vp_create2.restype = ctypes.c_void_p
+        lib.vp_create2.argtypes = [ctypes.c_char_p] + [ctypes.c_int] * 6
         lib.vp_next.restype = ctypes.c_long
         lib.vp_next.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte),
@@ -119,10 +121,12 @@ class NativeVideoPump:
     uint8 net input, scale)."""
 
     def __init__(self, path: str, net_w: int, net_h: int, threads: int = 3,
-                 capacity: int = 16, frame_step: int = 1):
+                 capacity: int = 16, frame_step: int = 1,
+                 frame_offset: int = 0):
         self._lib = _load()
-        self._handle = self._lib.vp_create(
-            path.encode(), threads, capacity, net_w, net_h, frame_step)
+        self._handle = self._lib.vp_create2(
+            path.encode(), threads, capacity, net_w, net_h, frame_step,
+            frame_offset)
         if not self._handle:
             raise IOError(f"cannot open video: {path}")
         self.net_w = net_w
@@ -168,3 +172,4 @@ class NativeVideoPump:
             self.close()
         except Exception:
             pass
+
