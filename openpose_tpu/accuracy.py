@@ -153,11 +153,9 @@ def train_to_ap(steps: int = 1500,
     pycocotools-exact AP.  The synthetic drawing domain (color-coded joints
     and limbs) is learnable by the CPM/PAF architecture in O(10^3) steps.
     """
-    import dataclasses
     import tempfile
     import jax
     from openpose_tpu import train_loop
-    from openpose_tpu.params import POSE_MODEL_INFO
 
     config = train_loop.TrainConfig(
         model=PoseModel.BODY_25, image_size=image_size, batch_size=batch,
@@ -168,9 +166,9 @@ def train_to_ap(steps: int = 1500,
     state = train_loop.train(config, data, verbose=verbose)
     params = jax.device_get(state.params)
 
+    import dataclasses
     base = zoo.load_pose_model(PoseModel.BODY_25)
-    import dataclasses as _dc
-    trained = _dc.replace(base, params=params)
+    trained = dataclasses.replace(base, params=params)
     extractor = PoseExtractor(trained, compute_dtype=jnp.float32)
 
     h, w = image_size
