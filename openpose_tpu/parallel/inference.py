@@ -100,6 +100,13 @@ class ShardedPoseInference:
 
         bypass = self.net_bypass
 
+        # Pallas availability must follow the MESH's devices, not the
+        # process default backend: a virtual-CPU mesh in a process whose
+        # default backend is the TPU (e.g. entry() ran first) would
+        # otherwise trace the fused kernel into a CPU program.
+        mesh_platform = next(iter(self.mesh.devices.flat)).platform
+        use_pallas = mesh_platform == "tpu"
+
         def run(params, images):
             from openpose_tpu.models import graph as _graph
             # uint8 frames normalize on-device (XLA fuses the scale/shift
@@ -132,7 +139,8 @@ class ShardedPoseInference:
             peaks = nms.nms(merged, nms_thr, max_peaks, offset=(off, off))
             scores = paf.paf_scores_multiscale(
                 tuple(sources), tuple(scales), (net_h, net_w), peaks,
-                pairs, map_idx, inter_thr, inter_min, nms_thr)
+                pairs, map_idx, inter_thr, inter_min, nms_thr,
+                use_pallas=use_pallas)
             return peaks, scores
 
         batch_sh = mesh_lib.batch_sharding(self.mesh)
