@@ -53,7 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
     # Pose
     p.add_argument("--body", type=int, default=1)
     p.add_argument("--model_pose", default="BODY_25",
-                   choices=["BODY_25", "COCO_18", "MPI_15", "MPI_15_4"])
+                   help="BODY_25/COCO_18/MPI_15/MPI_15_4; the reference's "
+                        "experimental names (BODY_19*, BODY_25B/D/E, "
+                        "BODY_23, BODY_135, CAR_*) are recognized but "
+                        "error with guidance (no published weights)")
     p.add_argument("--net_resolution", default="-1x368")
     p.add_argument("--net_resolution_dynamic", type=float, default=1.0,
                    help="image inputs only: clip the -1 auto width to this "

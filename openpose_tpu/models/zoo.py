@@ -75,6 +75,14 @@ def load_pose_model(model: PoseModel = PoseModel.BODY_25,
                     caffemodel: Optional[str] = None, seed: int = 0,
                     model_folder: Optional[str] = None,
                     prototxt: Optional[str] = None) -> Model:
+    if model.experimental:
+        # The reference's experimental enum values carry placeholder model
+        # paths and ship no weights (poseParameters.cpp:377-391); match
+        # that surface with a clear error instead of a KeyError.
+        raise ValueError(
+            f"PoseModel.{model.name} is one of the reference's experimental "
+            "topologies with no published weights or deploy prototxt; load "
+            "a custom topology with prototxt=/--prototxt_path instead")
     info = POSE_MODEL_INFO[model]
     caffemodel = resolve_caffemodel(caffemodel, model_folder,
                                     CAFFEMODEL_PATHS.get(model, ""))

@@ -20,12 +20,36 @@ POSE_MAX_PEOPLE = 127
 
 
 class PoseModel(enum.Enum):
-    """Supported pose models (reference: include/openpose/pose/enumClasses.hpp:9-30)."""
+    """Supported pose models (reference: include/openpose/pose/enumClasses.hpp:9-30).
+
+    The first four are the models the reference ships weights/prototxts
+    for; the rest are the reference's experimental enum values, exposed for
+    API parity but without bundled topologies (the reference's own tables
+    carry placeholder paths for them, poseParameters.cpp:377-391) —
+    selecting one raises with guidance to --prototxt_path, which loads any
+    custom Caffe topology."""
 
     BODY_25 = "BODY_25"
     COCO_18 = "COCO_18"
     MPI_15 = "MPI_15"
     MPI_15_4 = "MPI_15_4"
+    # experimental (enumClasses.hpp:14-29): no shipped weights anywhere
+    BODY_19 = "BODY_19"
+    BODY_19_X2 = "BODY_19_X2"
+    BODY_19N = "BODY_19N"
+    BODY_19E = "BODY_19E"
+    BODY_25B = "BODY_25B"
+    BODY_25D = "BODY_25D"
+    BODY_25E = "BODY_25E"
+    BODY_23 = "BODY_23"
+    BODY_135 = "BODY_135"
+    CAR_12 = "CAR_12"
+    CAR_22 = "CAR_22"
+
+    @property
+    def experimental(self) -> bool:
+        return self not in (PoseModel.BODY_25, PoseModel.COCO_18,
+                            PoseModel.MPI_15, PoseModel.MPI_15_4)
 
 
 # Part name tables (reference: src/openpose/pose/poseParameters.cpp:7-73).

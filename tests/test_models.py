@@ -11,7 +11,8 @@ from openpose_tpu.params import PoseModel, POSE_MODEL_INFO
 
 
 class TestSpecs:
-    @pytest.mark.parametrize("model", list(PoseModel))
+    @pytest.mark.parametrize("model",
+                             [m for m in PoseModel if not m.experimental])
     def test_pose_output_channels(self, model):
         info = POSE_MODEL_INFO[model]
         spec = graph.load_spec(info.spec)
@@ -127,3 +128,26 @@ class TestShardedInference:
         for op in ("all-reduce", "all-gather", "reduce-scatter",
                    "collective-permute", "all-to-all"):
             assert not re.search(rf"= \S+ {op}", hlo), f"found {op}"
+
+
+class TestExperimentalModels:
+    def test_enum_surface_matches_reference(self):
+        # all 15 reference PoseModel values exist (enumClasses.hpp:9-30)
+        names = {m.name for m in PoseModel}
+        for want in ("BODY_25", "COCO_18", "MPI_15", "MPI_15_4", "BODY_19",
+                     "BODY_19_X2", "BODY_19N", "BODY_19E", "BODY_25B",
+                     "BODY_25D", "BODY_25E", "BODY_23", "BODY_135",
+                     "CAR_12", "CAR_22"):
+            assert want in names
+
+    def test_experimental_raises_with_guidance(self):
+        import pytest
+        with pytest.raises(ValueError, match="prototxt"):
+            zoo.load_pose_model(PoseModel.BODY_135)
+
+    def test_cli_experimental_model_errors_cleanly(self):
+        import pytest
+        from openpose_tpu import cli
+        with pytest.raises((SystemExit, ValueError)):
+            cli.main(["--image_dir", "/nonexistent",
+                      "--model_pose", "CAR_12"])
