@@ -57,6 +57,9 @@ def synthetic_coco_eval(n_images: int = 64,
     RENDERED keypoints only — the ground truth keeps the true positions, so
     this sweeps AP against controlled localization error of the "CNN".
     """
+    from openpose_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()        # sharded-program compiles are minutes
+    #                                  through the tunnel; cache across runs
     if model is None:
         model = zoo.load_pose_model(PoseModel.BODY_25)
     info = model.info
@@ -156,6 +159,8 @@ def train_to_ap(steps: int = 1500,
     import tempfile
     import jax
     from openpose_tpu import train_loop
+    from openpose_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     config = train_loop.TrainConfig(
         model=PoseModel.BODY_25, image_size=image_size, batch_size=batch,
