@@ -146,6 +146,7 @@ def train_to_ap(steps: int = 1500,
                 people_range: Tuple[int, int] = (1, 3),
                 seed: int = 0,
                 checkpoint_dir: str = "",
+                lr_schedule: str = "constant",
                 verbose: bool = True) -> Dict[str, float]:
     """Train BODY_25 from scratch on rendered synthetic scenes, then measure
     COCO AP of the trained net through the FULL pipeline on held-out scenes.
@@ -165,10 +166,13 @@ def train_to_ap(steps: int = 1500,
     config = train_loop.TrainConfig(
         model=PoseModel.BODY_25, image_size=image_size, batch_size=batch,
         learning_rate=learning_rate, steps=steps, checkpoint_every=steps,
-        checkpoint_dir=checkpoint_dir or tempfile.mkdtemp(prefix="t2ap_"))
+        checkpoint_dir=checkpoint_dir or tempfile.mkdtemp(prefix="t2ap_"),
+        lr_schedule=lr_schedule)
     data = train_loop.synthetic_scene_iterator(config, seed=seed,
                                                people_range=people_range)
-    state = train_loop.train(config, data, verbose=verbose)
+    train_stats: Dict[str, float] = {}
+    state = train_loop.train(config, data, verbose=verbose,
+                             stats_out=train_stats)
     params = jax.device_get(state.params)
 
     import dataclasses
@@ -192,7 +196,8 @@ def train_to_ap(steps: int = 1500,
         if pred.keypoints.size:
             saver.record(pred.keypoints, pred.scores, image_id)
     metrics = coco_eval.evaluate(saver.entries[json_io.VARIANT_BODY], gts)
-    metrics.update(steps=steps, n_eval=n_eval)
+    metrics.update(steps=steps, n_eval=n_eval, lr_schedule=lr_schedule,
+                   **train_stats)
     return metrics
 
 

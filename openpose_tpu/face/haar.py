@@ -27,8 +27,13 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
+# The reference ships the cascade inside its model folder
+# (models/face/haarcascade_frontalface_alt.xml, consumed by
+# faceDetectorOpenCV.cpp:33-37); system OpenCV installs are the fallback.
+CASCADE_RELATIVE = "face/haarcascade_frontalface_alt.xml"
 DEFAULT_CASCADE_PATHS = (
     "/usr/share/opencv4/haarcascades/haarcascade_frontalface_alt.xml",
+    "/usr/local/share/opencv4/haarcascades/haarcascade_frontalface_alt.xml",
 )
 
 
@@ -94,8 +99,13 @@ def parse_cascade(path: str) -> HaarCascade:
     )
 
 
-def _find_default_cascade() -> Optional[str]:
-    for p in DEFAULT_CASCADE_PATHS:
+def _find_default_cascade(model_folder: Optional[str] = None
+                          ) -> Optional[str]:
+    candidates: List[str] = []
+    if model_folder:
+        candidates.append(os.path.join(model_folder, CASCADE_RELATIVE))
+    candidates.extend(DEFAULT_CASCADE_PATHS)
+    for p in candidates:
         if os.path.exists(p):
             return p
     return None
@@ -247,11 +257,14 @@ class FaceDetectorOpenCV:
     without body keypoints and enlarge each box 1.5x about its center
     (reference: src/openpose/face/faceDetectorOpenCV.cpp:38-62)."""
 
-    def __init__(self, cascade_path: Optional[str] = None):
-        path = cascade_path or _find_default_cascade()
+    def __init__(self, cascade_path: Optional[str] = None,
+                 model_folder: Optional[str] = None):
+        path = cascade_path or _find_default_cascade(model_folder)
         if path is None:
             raise FileNotFoundError(
-                "haarcascade_frontalface_alt.xml not found; pass cascade_path")
+                "haarcascade_frontalface_alt.xml not found under "
+                f"--model_folder/{CASCADE_RELATIVE} or system OpenCV "
+                "locations; pass cascade_path")
         self.cascade = parse_cascade(path)
 
     def detect_faces(self, image: np.ndarray) -> np.ndarray:

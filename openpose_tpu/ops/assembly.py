@@ -116,7 +116,6 @@ def connections_to_people(
                 person_assigned[person_assigned == assigned2] = assigned1
 
     keep = [i for i in range(len(people)) if i not in to_remove]
-    remap = {old: new for new, old in enumerate(keep)}
     return [people[i] for i in keep]
 
 

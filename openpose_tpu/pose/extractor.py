@@ -45,6 +45,10 @@ class PosePrediction:
     peaks: Optional[np.ndarray] = None      # [parts, K+1, 3] net-output px
     scale_net_to_output: float = 1.0
     net_output_size: Tuple[int, int] = (0, 0)   # (w, h)
+    # Per-scale geometry (Datum::scaleInputToNetInputs / netInputSizes,
+    # include/openpose/core/datum.hpp:223-238)
+    scale_input_to_net: Tuple[float, ...] = ()
+    net_input_sizes: Tuple[Tuple[int, int], ...] = ()   # [(w, h), ...]
 
 
 class PoseExtractor:
@@ -179,4 +183,6 @@ class PoseExtractor:
             heatmaps=np.asarray(full_low)[0] if keep_heatmaps else None,
             peaks=peaks_np,
             scale_net_to_output=scale_net_to_output,
-            net_output_size=(net_out_w, net_out_h))
+            net_output_size=(net_out_w, net_out_h),
+            scale_input_to_net=tuple(plan.scale_input_to_net),
+            net_input_sizes=tuple(plan.net_input_sizes))

@@ -60,6 +60,11 @@ class TrainConfig:
     checkpoint_every: int = 500
     checkpoint_dir: str = "checkpoints"
     model_parallel: int = 1
+    # "constant" or "cosine" (linear warmup then cosine decay to 1% of
+    # peak — the standard large-batch recipe; constant-LR Adam plateaus
+    # with residual localization error on the sub-pixel refinement scale).
+    lr_schedule: str = "constant"
+    warmup_steps: int = 100
 
 
 def coco_data_iterator(images_dir: str, annotations_json: str,
@@ -131,8 +136,13 @@ def synthetic_scene_iterator(config: TrainConfig, seed: int = 0,
         yield imgs, kps
 
 
-def train(config: TrainConfig, data: Iterator, verbose: bool = True):
-    """Run the training loop on the available devices; returns final state."""
+def train(config: TrainConfig, data: Iterator, verbose: bool = True,
+          stats_out: Optional[dict] = None):
+    """Run the training loop on the available devices; returns final state.
+
+    stats_out: if given, filled with steady-state throughput/roofline
+    numbers ({img_s, step_ms, train_tflops, train_mfu, fwd_gflops_img})
+    measured from step 1 onward (step 0 pays the compile)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -145,7 +155,15 @@ def train(config: TrainConfig, data: Iterator, verbose: bool = True):
 
     info = POSE_MODEL_INFO[config.model]
     spec = graph.load_spec(info.spec)
-    optimizer = optax.adam(config.learning_rate)
+    if config.lr_schedule == "cosine":
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=config.learning_rate,
+            warmup_steps=min(config.warmup_steps, max(1, config.steps // 10)),
+            decay_steps=config.steps,
+            end_value=config.learning_rate * 0.01)
+    else:
+        lr = config.learning_rate
+    optimizer = optax.adam(lr)
     state = train_mod.init_train_state(spec, optimizer,
                                        jax.random.PRNGKey(0))
     mesh = mesh_lib.make_mesh(model=config.model_parallel)
@@ -174,11 +192,15 @@ def train(config: TrainConfig, data: Iterator, verbose: bool = True):
 
     ckpt_dir = pathlib.Path(config.checkpoint_dir)
     t0 = time.time()
+    t_steady = None                       # set after step 0 (compile) retires
     with mesh:
         for step in range(config.steps):
             images, keypoints = next(data)
             state, loss = step_fn(state, jnp.asarray(images),
                                   jnp.asarray(keypoints))
+            if step == 0:
+                jax.block_until_ready(loss)
+                t_steady = time.time()
             if verbose and (step % 50 == 0 or step == config.steps - 1):
                 print(f"step {step}: loss {float(loss):.6f} "
                       f"({(step + 1) * config.batch_size / (time.time() - t0):.1f} img/s)")
@@ -188,4 +210,21 @@ def train(config: TrainConfig, data: Iterator, verbose: bool = True):
                 checkpoint.save(str(path), jax.device_get(state.params))
                 if verbose:
                     print(f"saved {path}")
+        jax.block_until_ready(state.step)
+    if stats_out is not None and config.steps > 1 and t_steady is not None:
+        from openpose_tpu.utils import benchmark as bench_lib
+        dt = time.time() - t_steady
+        n_steady = config.steps - 1
+        img_s = n_steady * config.batch_size / dt
+        fwd_gflops = sum(graph.count_flops(
+            spec, config.image_size).values()) / 1e9
+        # fwd + bwd(params) + bwd(activations) = 3x fwd MACs — the standard
+        # training-FLOPs accounting (scaling-book convention).
+        tflops = 3.0 * fwd_gflops * img_s / 1e3
+        peak = bench_lib.bf16_peak_tflops()
+        stats_out.update(
+            img_s=round(img_s, 1), step_ms=round(1e3 * dt / n_steady, 2),
+            fwd_gflops_img=round(fwd_gflops, 1),
+            train_tflops=round(tflops, 1),
+            train_mfu=round(tflops / peak, 3) if peak else None)
     return state

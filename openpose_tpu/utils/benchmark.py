@@ -22,6 +22,20 @@ import jax
 import jax.numpy as jnp
 
 
+def bf16_peak_tflops(device_kind: str | None = None) -> float:
+    """Published per-chip bf16 peak (TFLOP/s) by device_kind substring;
+    0.0 when unknown (e.g. the virtual CPU mesh)."""
+    if device_kind is None:
+        device_kind = jax.devices()[0].device_kind
+    kind = device_kind.lower()
+    for key, peak in (("v5 lite", 197.0), ("v5e", 197.0), ("v5p", 459.0),
+                      ("v6 lite", 918.0), ("v6e", 918.0), ("v4", 275.0),
+                      ("v3", 123.0), ("v2", 45.0)):
+        if key in kind:
+            return peak
+    return 0.0
+
+
 def chain_ms(step_fn: Callable[[jax.Array], jax.Array],
              n_lo: int = 2, n_hi: int = 22, reps: int = 3) -> float:
     """Milliseconds per application of step_fn (carry f32 scalar -> carry).

@@ -114,6 +114,11 @@ class Datum:
     heatmaps: Optional[np.ndarray] = None
     camera_matrix: Optional[np.ndarray] = None        # [3, 4] for 3-D views
     output_frame: Optional[np.ndarray] = None
+    # Scale/size bookkeeping (datum.hpp:223-250)
+    scale_input_to_net: tuple = ()                    # per scale
+    net_input_sizes: tuple = ()                       # per scale (w, h)
+    net_output_size: tuple = (0, 0)                   # (w, h)
+    scale_net_to_output: float = 1.0
 
 
 class Wrapper:
@@ -164,7 +169,8 @@ class Wrapper:
         self._haar_detector = None
         if face.enable and (face.detector == 1 or not pose.enable):
             from openpose_tpu.face.haar import FaceDetectorOpenCV
-            self._haar_detector = FaceDetectorOpenCV()
+            self._haar_detector = FaceDetectorOpenCV(
+                model_folder=pose.model_folder)
         if hand.detector == 3:              # flags.hpp:146 hand tracking mode
             self.hand_cfg.tracking = True
 
@@ -172,7 +178,8 @@ class Wrapper:
     def process(self, image: np.ndarray, datum_id: int = 0,
                 name: str = "", keep_heatmaps: bool = False,
                 face_rectangles: Optional[List] = None,
-                hand_rectangles: Optional[List] = None) -> Datum:
+                hand_rectangles: Optional[List] = None,
+                pose_net_output: Optional[np.ndarray] = None) -> Datum:
         """Full cascade on one BGR frame.
 
         keep_heatmaps: expose the merged net output on datum.heatmaps (the
@@ -180,6 +187,8 @@ class Wrapper:
         face_rectangles / hand_rectangles: caller-provided detections for
         detector mode 2 (the reference's Datum::faceRectangles /
         handRectangles injection, e.g. examples 07/08).
+        pose_net_output: optional [h/8, w/8, C] tensor substituted for the
+        CNN output (Datum::poseNetOutput, datum.hpp:212-217).
         """
         datum = Datum(id=datum_id, name=name, frame=image)
         prof = self.profiler
@@ -195,8 +204,13 @@ class Wrapper:
                     image, self.pose_cfg.net_resolution,
                     self.pose_cfg.scale_number, self.pose_cfg.scale_gap,
                     keep_heatmaps=keep_heatmaps,
+                    net_output=pose_net_output,
                     net_resolution_dynamic=self.pose_cfg.net_resolution_dynamic)
                 kp, sc = pred.keypoints, pred.scores
+                datum.scale_input_to_net = pred.scale_input_to_net
+                datum.net_input_sizes = pred.net_input_sizes
+                datum.net_output_size = pred.net_output_size
+                datum.scale_net_to_output = pred.scale_net_to_output
                 if self.pose_cfg.top_down_refinement and kp.shape[0]:
                     from openpose_tpu.pose.refine import refine_prediction
                     pred = refine_prediction(self.pose_extractor, image,

@@ -13,6 +13,22 @@ def _cascade_or_skip():
     return haar.parse_cascade(path)
 
 
+class TestDiscovery:
+    def test_model_folder_takes_priority(self, tmp_path):
+        """--model_folder/face/haarcascade_frontalface_alt.xml wins over
+        system locations (the reference keeps the cascade in its model
+        folder, faceDetectorOpenCV.cpp:33-37)."""
+        face_dir = tmp_path / "face"
+        face_dir.mkdir()
+        target = face_dir / "haarcascade_frontalface_alt.xml"
+        target.write_text("<opencv_storage/>")
+        assert haar._find_default_cascade(str(tmp_path)) == str(target)
+
+    def test_model_folder_without_cascade_falls_back(self, tmp_path):
+        found = haar._find_default_cascade(str(tmp_path))
+        assert found is None or found in haar.DEFAULT_CASCADE_PATHS
+
+
 class TestParser:
     def test_structure(self):
         casc = _cascade_or_skip()
