@@ -138,6 +138,119 @@ def synthetic_coco_eval(n_images: int = 64,
     return metrics
 
 
+def synthetic_topdown_eval(kind: str = "face",
+                           n_frames: int = 16,
+                           frame_hw: Tuple[int, int] = (368, 656),
+                           people_range: Tuple[int, int] = (1, 3),
+                           net_size: int = 368,
+                           sigma: float = 7.0,
+                           batch: int = 8,
+                           seed: int = 0,
+                           mesh=None) -> Dict[str, float]:
+    """Closed-loop face/hand localization accuracy through the REAL
+    top-down device program (crop geometry -> decode -> map-back).
+
+    Mirrors synthetic_coco_eval for the top-down stage: body keypoints
+    from random scenes produce face/hand rectangles exactly as the
+    whole-body cascade does (detect_faces/detect_hands from pose keypoints,
+    faceDetector.cpp:37-75), ground-truth part locations are drawn inside
+    each rectangle, rendered as net-output Gaussians in CROP space (same
+    grid convention as training targets), injected into ShardedTopDown's
+    decode program in place of the CNN, and mapped back to frame pixels by
+    the standard path (warp.map_back; faceExtractorCaffe.cpp:230-310 /
+    mirrored left hands handExtractorCaffe.cpp:44-75).  Any regression in
+    rect_to_transform, the 8x upsample decode, mirror handling, or map-back
+    moves the reported error.
+
+    Returns {kind, rmse_px, max_err_px, pck05, n_instances, n_parts}:
+    rmse in FRAME pixels over every valid part, PCK@0.05 = fraction of
+    parts within 5% of the rect side.
+    """
+    from openpose_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+    from openpose_tpu.face.detector import detect_faces
+    from openpose_tpu.hand.detector import detect_hands
+    from openpose_tpu.ops import warp
+    from openpose_tpu.parallel.inference import ShardedTopDown
+    from openpose_tpu.params import (
+        FACE_NUMBER_PARTS, HAND_NUMBER_PARTS)
+
+    is_face = kind == "face"
+    num_parts = FACE_NUMBER_PARTS if is_face else HAND_NUMBER_PARTS
+    cap = people_range[1] * (1 if is_face else 2)
+    model = (zoo.load_face_model() if is_face else zoo.load_hand_model())
+    topdown = ShardedTopDown(model, mesh=mesh, net_size=net_size,
+                             people_cap=cap, compute_dtype=jnp.float32)
+
+    s8 = net_size // 8
+    # map px m <-> crop coord (m + 0.5)*8 - 0.5 (train.make_targets grid;
+    # the 8x half-pixel-center bicubic upsample then lands upsampled px j
+    # exactly on crop coord j, so argmax recovers the rendered location)
+    grid = (np.arange(s8, dtype=np.float32) + 0.5) * 8.0 - 0.5
+
+    rng = np.random.RandomState(seed)
+    errors: List[np.ndarray] = []
+    rel_errors: List[np.ndarray] = []
+    n_instances = 0
+    fh, fw = frame_hw
+
+    for start in range(0, n_frames, batch):
+        maps = np.zeros((batch, cap, s8, s8, num_parts), np.float32)
+        gt: List[List[Tuple[int, np.ndarray, Tuple, float]]] = []
+        for bi in range(batch):
+            rows = []
+            if start + bi < n_frames:
+                people = scenes.random_people(
+                    rng, rng.randint(people_range[0], people_range[1] + 1),
+                    (fh, fw))
+                if is_face:
+                    rects = [(r, False)
+                             for r in detect_faces(people, PoseModel.BODY_25)]
+                else:
+                    rects = []
+                    for left, right in detect_hands(people,
+                                                    PoseModel.BODY_25):
+                        rects.append((left, True))
+                        rects.append((right, False))
+                for slot, (rect, mirror) in enumerate(rects[:cap]):
+                    if min(rect[2], rect[3]) <= 1 or rect[2] * rect[3] <= 10:
+                        continue
+                    tr = warp.rect_to_transform(rect, net_size, mirror)
+                    # ground-truth parts inside the central 70% of the rect
+                    x0, y0, rw, rh = rect
+                    pts = np.stack([
+                        x0 + rw * rng.uniform(0.15, 0.85, num_parts),
+                        y0 + rh * rng.uniform(0.15, 0.85, num_parts)],
+                        axis=-1).astype(np.float32)
+                    crop_pts = warp.map_forward(pts, tr)
+                    dx2 = (grid[None, :] - crop_pts[:, 0][:, None]) ** 2
+                    dy2 = (grid[None, :] - crop_pts[:, 1][:, None]) ** 2
+                    d2 = dy2[:, :, None] + dx2[:, None, :]  # [parts, y, x]
+                    maps[bi, slot] = np.exp(
+                        -d2 / (2.0 * sigma * sigma)).transpose(1, 2, 0)
+                    rows.append((slot, pts, tr, max(rw, rh)))
+                    n_instances += 1
+            gt.append(rows)
+        peaks = np.asarray(topdown(None, None, net_output=maps))
+        for bi, rows in enumerate(gt):
+            for slot, pts, tr, side in rows:
+                xy = warp.map_back(peaks[bi, slot, :num_parts, :2], tr)
+                err = np.linalg.norm(xy - pts, axis=-1)
+                errors.append(err)
+                rel_errors.append(err / max(side, 1.0))
+
+    err = np.concatenate(errors) if errors else np.zeros(1)
+    rel = np.concatenate(rel_errors) if rel_errors else np.ones(1)
+    return {
+        "kind": kind,
+        "rmse_px": float(np.sqrt((err ** 2).mean())),
+        "max_err_px": float(err.max()),
+        "pck05": float((rel < 0.05).mean()),
+        "n_instances": n_instances,
+        "n_parts": int(err.size),
+    }
+
+
 def train_to_ap(steps: int = 1500,
                 image_size: Tuple[int, int] = (184, 328),
                 batch: int = 8,

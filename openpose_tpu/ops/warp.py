@@ -74,6 +74,17 @@ def rect_to_transform(rect_xywh, net_side: int, mirror: bool):
     return (scale, scale, x, y)
 
 
+def map_forward(keypoints_xy, transform):
+    """Inverse of map_back: [.., 2] image-space keypoints -> crop space
+    (dst = (src - t) / s per axis)."""
+    sx, sy, tx, ty = transform
+    import numpy as np
+    out = np.asarray(keypoints_xy, dtype=np.float32).copy()
+    out[..., 0] = (keypoints_xy[..., 0] - tx) / sx
+    out[..., 1] = (keypoints_xy[..., 1] - ty) / sy
+    return out
+
+
 def map_back(keypoints_xy, transform):
     """Map [.., 2] crop-space keypoints back to image space via the same
     affine (connectKeypoints, handExtractorCaffe.cpp:76-95)."""

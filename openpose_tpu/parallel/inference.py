@@ -254,9 +254,28 @@ class ShardedTopDown:
         self.params = jax.device_put(
             model.params, mesh_lib.param_sharding(self.mesh, model.params))
         self._fns = {}
+        self._bypass_fns = {}
 
     # transform row for an inactive slot: samples far outside -> all zeros
     INACTIVE = (1.0, 1.0, -1e6, -1e6)
+
+    @staticmethod
+    def _decode_chunked(out5d):
+        """[B, P, s8, s8, C] net outputs -> [B, P, C, 3] crop-space peaks.
+
+        The reference's decode: 8x bicubic upsample then per-channel argmax
+        (faceExtractorCaffe.cpp:230-310 / maximumBase.cpp:7-55), lax.map-
+        chunked over the people dimension to bound the upsample workspace."""
+        from openpose_tpu.ops import maximum
+        size_hw = (out5d.shape[2] * 8, out5d.shape[3] * 8)
+        chunks = out5d.transpose(1, 0, 2, 3, 4)
+
+        def decode(chunk):                      # [B, s8, s8, C]
+            up = resize.resize_bicubic(chunk, size_hw)
+            return maximum.channel_argmax(up)   # [B, C, 3]
+
+        peaks = jax.lax.map(decode, chunks)     # [P, B, C, 3]
+        return peaks.transpose(1, 0, 2, 3)
 
     def _fn(self, frame_hw: Tuple[int, int]):
         if frame_hw in self._fns:
@@ -277,15 +296,8 @@ class ShardedTopDown:
             x = resize.normalize_vgg(
                 crops.reshape(b * p, net_size, net_size, 3))
             out = _graph.forward(params, spec, x, dtype)   # [b*p, s, s, C]
-            chunks = out.reshape((b, p) + out.shape[1:]).transpose(
-                1, 0, 2, 3, 4)
-
-            def decode(chunk):                      # [b, s/8, s/8, C]
-                up = resize.resize_bicubic(chunk, (net_size, net_size))
-                return maximum.channel_argmax(up)   # [b, C, 3]
-
-            peaks = jax.lax.map(decode, chunks)     # [P, b, C, 3]
-            return peaks.transpose(1, 0, 2, 3)      # [b, P, C, 3]
+            return ShardedTopDown._decode_chunked(
+                out.reshape((b, p) + out.shape[1:]))
 
         if self.mesh.shape.get("model", 1) == 1:
             run = jax.shard_map(
@@ -298,13 +310,39 @@ class ShardedTopDown:
         self._fns[frame_hw] = fn
         return fn
 
-    def __call__(self, frames, transforms) -> jax.Array:
+    def _bypass_fn(self, map_hw: Tuple[int, int]):
+        """Decode-only program: injected net outputs -> peaks (the
+        poseNetOutput-style hook for the top-down stage, datum.hpp:212-217;
+        used by the closed-loop face/hand accuracy harness)."""
+        if map_hw in self._bypass_fns:
+            return self._bypass_fns[map_hw]
+
+        def run(maps):
+            return ShardedTopDown._decode_chunked(maps.astype(jnp.float32))
+
+        if self.mesh.shape.get("model", 1) == 1:
+            run = jax.shard_map(run, mesh=self.mesh, in_specs=P("data"),
+                                out_specs=P("data"), check_vma=False)
+        batch_sh = mesh_lib.batch_sharding(self.mesh)
+        fn = jax.jit(run, in_shardings=(batch_sh,), out_shardings=batch_sh)
+        self._bypass_fns[map_hw] = fn
+        return fn
+
+    def __call__(self, frames, transforms,
+                 net_output=None) -> jax.Array:
         """frames [B, H, W, 3]; transforms [B, people_cap, 4] affine rows
         (warp.rect_to_transform).  Returns [B, people_cap, C, 3] peaks in
-        CROP coordinates (map back with warp.map_back)."""
+        CROP coordinates (map back with warp.map_back).
+
+        net_output: optional [B, people_cap, s/8, s/8, C] tensor replacing
+        the crop+CNN stages (decode-only injection)."""
+        batch_sh = mesh_lib.batch_sharding(self.mesh)
+        if net_output is not None:
+            net_output = np.asarray(net_output, np.float32)
+            fn = self._bypass_fn(tuple(net_output.shape[2:4]))
+            return fn(jax.device_put(net_output, batch_sh))
         frames = np.asarray(frames)
         fn = self._fn(tuple(frames.shape[1:3]))
-        batch_sh = mesh_lib.batch_sharding(self.mesh)
         return fn(self.params,
                   jax.device_put(frames, batch_sh),
                   jax.device_put(np.asarray(transforms, np.float32),

@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 
 from openpose_tpu import scenes
-from openpose_tpu.accuracy import synthetic_coco_eval
+from openpose_tpu.accuracy import synthetic_coco_eval, synthetic_topdown_eval
 from openpose_tpu.models import zoo
 from openpose_tpu.params import PoseModel
 
@@ -54,6 +54,24 @@ class TestClosedLoopAP:
         m = synthetic_coco_eval(n_images=16, net_hw=(176, 320), batch=8,
                                 seed=0, model=model)
         assert m["AP"] >= 0.90, m
+
+    def test_face_closed_loop_localization(self):
+        """Face decode + crop geometry round trip: sub-2px at net 64 (the
+        error scales with rect/net ratio; production 368 is ~6x finer)."""
+        m = synthetic_topdown_eval("face", n_frames=8, net_size=64, batch=8,
+                                   seed=0)
+        assert m["n_instances"] >= 8, m
+        assert m["rmse_px"] < 2.0, m
+        assert m["pck05"] >= 0.99, m
+
+    def test_hand_closed_loop_localization(self):
+        """Hands exercise the mirrored-left-crop path
+        (handExtractorCaffe.cpp:44-75) through the same loop."""
+        m = synthetic_topdown_eval("hand", n_frames=8, net_size=64, batch=8,
+                                   seed=1)
+        assert m["n_instances"] >= 8, m
+        assert m["rmse_px"] < 2.0, m
+        assert m["pck05"] >= 0.99, m
 
     def test_jitter_degrades_gracefully(self, model):
         clean = synthetic_coco_eval(n_images=8, net_hw=(368, 656), batch=8,

@@ -142,6 +142,21 @@ def test_two_process_training_step(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_host_scaling_efficiency(tmp_path):
+    """MEASURED weak-scaling efficiency 1 -> 2 emulated hosts (each a
+    pinned core + one XLA device, real jax.distributed coordination) must
+    hit the >=80% north-star target (BASELINE.md).  The program is
+    collective-free, so the efficiency loss is pure runtime overhead."""
+    import importlib
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]
+                           / "scripts"))
+    scaling_bench = importlib.import_module("scaling_bench")
+    report = scaling_bench.measure(batch=8, iters=8, workdir=tmp_path)
+    assert report["collectives_inference"] == {}
+    assert report["efficiency_2_hosts"] >= 0.8, report
+
+
+@pytest.mark.slow
 def test_two_process_sharded_inference_throughput(tmp_path):
     """2-host data-parallel inference: both processes execute the global
     program and report a global frames/s; the two measurements must agree
