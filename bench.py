@@ -132,9 +132,18 @@ def main() -> None:
           f"ms/frame -> {1000.0 / worst_frame_ms:.1f} frames/s",
           file=sys.stderr)
 
+    batch1 = _bench_batch1(model, images, synth, _post)
+    wb = _bench_whole_body(net_ms, post_ms, gflops_frame, batch, peak)
     e2e_fps = _bench_end_to_end()
     host_tail_fps = _bench_host_tail()
     ap = _bench_synthetic_ap(model)
+    td_acc = _bench_topdown_accuracy()
+
+    # Co-located e2e estimate: in the deep-pipelined runner the host tail
+    # (decode + assembly + JSON) overlaps device compute, so a host NOT
+    # behind a ~40 MB/s tunnel sustains min(device, host_tail) — the
+    # overlap model for the measured-tunnel e2e number below.
+    colocated = round(min(fps, host_tail_fps), 2) if host_tail_fps else 0.0
 
     baseline = 22.0
     print(json.dumps({
@@ -144,15 +153,226 @@ def main() -> None:
         "vs_baseline": round(fps / baseline, 3),
         "worst_case_fps": round(1000.0 / worst_frame_ms, 2),
         "e2e_disk_to_keypoints_fps": e2e_fps,
+        "e2e_colocated_est_fps": colocated,
         "host_tail_fps": host_tail_fps,
         "synthetic_ap": ap.get("AP"),
         "synthetic_ap50": ap.get("AP50"),
         "synthetic_ar": ap.get("AR"),
+        "face_rmse_px": td_acc.get("face_rmse_px"),
+        "hand_rmse_px": td_acc.get("hand_rmse_px"),
         "cnn_gflops_per_frame": round(gflops_frame, 1),
         "cnn_tflops": round(achieved_tflops, 1),
         "cnn_mfu": round(mfu, 3),
         "device_kind": kind,
+        **batch1,
+        **wb,
     }))
+
+
+def _bench_batch1(model, images, synth, post_fn) -> dict:
+    """Real-time (batch-1) latency: the reference's headline is 22 FPS
+    including display on one frame at a time (README.md:63-68), so
+    throughput-at-batch-8 alone does not prove real-time parity.
+
+    Reports the batch-1 device pipeline time (chained, tunnel-proof), the
+    single-thread host assembly tail, and their sum as the co-located
+    frame latency; plus the MEASURED per-call wall time through the remote
+    tunnel (RPC-dominated here; a co-located host pays only the estimate).
+    """
+    try:
+        import jax
+        import numpy as np
+        from openpose_tpu.models import graph
+        from openpose_tpu.ops import resize
+        from openpose_tpu.utils.benchmark import chain_ms
+        import jax.numpy as jnp
+
+        _progress("batch-1: timing net + post chains")
+        img1 = images[:1]
+        synth1 = synth[:1]
+
+        def step_net1(c):
+            out = graph.forward(model.params, model.spec,
+                                resize.normalize_vgg(img1 + c * 1e-12),
+                                jnp.bfloat16)
+            return c + out[0, 0, 0, 0] * 1e-12
+
+        def step_post1(c):
+            peaks, scores = post_fn(synth1 + c * 1e-12, fast_peaks=(16, 48))
+            return c + peaks[0, 0, 0, 0] * 1e-12 \
+                + scores[0, 0, 0, 0] * 1e-12
+
+        net1_ms = chain_ms(step_net1)
+        post1_ms = chain_ms(step_post1)
+
+        # single-thread host tail (greedy assembly) on typical content
+        import time as _t
+        from openpose_tpu.ops import nms as nms_ops, paf as paf_ops
+        from openpose_tpu.params import POSE_MAX_PEOPLE
+        from openpose_tpu.pose.extractor import PoseExtractor
+        pairs_np, map_idx_np = paf_ops.pair_tables(model.info)
+        merged = resize.resize_bicubic(
+            synth1[..., :model.info.num_parts], (368, 656))
+        pk = nms_ops.nms(merged, 0.05, POSE_MAX_PEOPLE)
+        sc = paf_ops.paf_scores_multiscale(
+            (synth1,), (1.0,), (368, 656), pk, jnp.asarray(pairs_np),
+            jnp.asarray(map_idx_np), 0.05, 0.95, 0.05)
+        pk_np, sc_np = np.asarray(pk)[0], np.asarray(sc)[0]
+        extractor = PoseExtractor(model)
+        extractor.assemble(pk_np, sc_np, 1.0)          # warm
+        t0 = _t.perf_counter()
+        reps = 50
+        for _ in range(reps):
+            extractor.assemble(pk_np, sc_np, 1.0)
+        asm_ms = (_t.perf_counter() - t0) / reps * 1e3
+
+        device_ms = net1_ms + post1_ms
+        latency = device_ms + asm_ms
+        print(f"batch-1: net {net1_ms:.2f} + post {post1_ms:.2f} + "
+              f"assembly {asm_ms:.2f} ms -> latency {latency:.2f} ms "
+              f"({1000.0 / device_ms:.1f} fps device)", file=sys.stderr)
+        return {
+            "batch1_fps": round(1000.0 / device_ms, 2),
+            "batch1_latency_ms": round(latency, 2),
+            "batch1_net_ms": round(net1_ms, 3),
+            "batch1_post_ms": round(post1_ms, 3),
+            "batch1_assembly_ms": round(asm_ms, 3),
+        }
+    except Exception as exc:          # never sink the headline number
+        _progress(f"batch-1 bench failed: {exc!r}")
+        return {}
+
+
+def _bench_whole_body(net_ms: float, post_ms: float,
+                      body_gflops: float, batch: int,
+                      peak_tflops: float) -> dict:
+    """Whole-body cascade throughput: BODY_25 + face + 2x hands, batch 8,
+    4 people/frame, every crop slot ACTIVE (worst case for the top-down
+    stages).  The reference loops crops per person per GPU
+    (faceExtractorCaffe.cpp:230-310, wrapperAuxiliary.hpp:324-337) — its
+    known O(#people) weakness; here one batched program per stage covers
+    all batch*people crops.  Stages share one chip, so cascade time is the
+    sum of the three device programs (host geometry overlaps in the async
+    pipeline and is reported separately)."""
+    try:
+        import jax
+        import numpy as np
+        import jax.numpy as jnp
+        from openpose_tpu.models import graph, zoo
+        from openpose_tpu.ops import warp
+        from openpose_tpu.parallel.inference import ShardedTopDown
+        from openpose_tpu.utils.benchmark import chain_ms
+
+        _progress("whole-body: building face/hand stages")
+        people = 4
+        face_model = zoo.load_face_model()
+        hand_model = zoo.load_hand_model()
+        face_td = ShardedTopDown(face_model, net_size=368,
+                                 people_cap=people)
+        hand_td = ShardedTopDown(hand_model, mesh=face_td.mesh,
+                                 net_size=368, people_cap=2 * people)
+
+        rng = np.random.RandomState(1)
+        frames = jnp.asarray(rng.uniform(
+            0, 255, (batch, 368, 656, 3)).astype(np.float32))
+
+        def rand_transforms(cap, mirror_alt):
+            tr = np.zeros((batch, cap, 4), np.float32)
+            for b in range(batch):
+                for s in range(cap):
+                    side = rng.uniform(60, 140)
+                    x = rng.uniform(0, 656 - side)
+                    y = rng.uniform(0, 368 - side)
+                    tr[b, s] = warp.rect_to_transform(
+                        (x, y, side, side), 368,
+                        mirror_alt and s % 2 == 0)
+            return jnp.asarray(tr)
+
+        face_tr = rand_transforms(people, False)
+        hand_tr = rand_transforms(2 * people, True)
+        fface = face_td._fn((368, 656))
+        fhand = hand_td._fn((368, 656))
+
+        def step_face(c):
+            pk = fface(face_td.params, frames + c * 1e-12, face_tr)
+            return c + pk[0, 0, 0, 0] * 1e-12
+
+        def step_hand(c):
+            pk = fhand(hand_td.params, frames + c * 1e-12, hand_tr)
+            return c + pk[0, 0, 0, 0] * 1e-12
+
+        _progress("whole-body: timing face chain")
+        face_ms = chain_ms(step_face, n_lo=2, n_hi=8)
+        _progress(f"whole-body: face {face_ms:.1f} ms/iter; timing hand")
+        hand_ms = chain_ms(step_hand, n_lo=2, n_hi=8)
+        _progress(f"whole-body: hand {hand_ms:.1f} ms/iter")
+
+        # host geometry between programs (overlaps device in the pipeline)
+        import time as _t
+        from openpose_tpu.face.detector import detect_faces
+        from openpose_tpu.hand.detector import detect_hands
+        from openpose_tpu.params import PoseModel
+        from openpose_tpu import scenes
+        kp = scenes.random_people(rng, people, (368, 656))
+        t0 = _t.perf_counter()
+        reps = 200
+        for _ in range(reps):
+            for r in detect_faces(kp, PoseModel.BODY_25):
+                warp.rect_to_transform(r, 368, False)
+            for left, right in detect_hands(kp, PoseModel.BODY_25):
+                warp.rect_to_transform(left, 368, True)
+                warp.rect_to_transform(right, 368, False)
+        geom_ms = (_t.perf_counter() - t0) / reps * 1e3
+
+        face_gflops = sum(graph.count_flops(
+            face_model.spec, (368, 368)).values()) / 1e9
+        hand_gflops = sum(graph.count_flops(
+            hand_model.spec, (368, 368)).values()) / 1e9
+        total_gflops = (body_gflops + people * face_gflops
+                        + 2 * people * hand_gflops)
+        frame_ms = (net_ms + post_ms + face_ms + hand_ms) / batch
+        fps = 1000.0 / frame_ms
+        tflops = total_gflops / frame_ms
+        mfu = tflops / peak_tflops if peak_tflops else 0.0
+        print(f"whole-body (4 people, all crops active): body "
+              f"{(net_ms + post_ms) / batch:.2f} + face "
+              f"{face_ms / batch:.2f} + hands {hand_ms / batch:.2f} "
+              f"ms/frame -> {fps:.1f} frames/s, "
+              f"{total_gflops:.0f} GFLOP/frame, MFU {mfu:.1%} "
+              f"(host geometry {geom_ms:.2f} ms/frame, overlapped)",
+              file=sys.stderr)
+        return {
+            "whole_body_fps": round(fps, 2),
+            "whole_body_face_ms": round(face_ms / batch, 3),
+            "whole_body_hand_ms": round(hand_ms / batch, 3),
+            "whole_body_gflops_per_frame": round(total_gflops, 1),
+            "whole_body_mfu": round(mfu, 3),
+            "whole_body_host_geom_ms": round(geom_ms, 3),
+        }
+    except Exception as exc:          # never sink the headline number
+        _progress(f"whole-body bench failed: {exc!r}")
+        return {}
+
+
+def _bench_topdown_accuracy() -> dict:
+    """Closed-loop face/hand localization through the real top-down decode
+    program (accuracy.synthetic_topdown_eval): frame-px RMSE at the
+    production 368 crop size."""
+    try:
+        from openpose_tpu.accuracy import synthetic_topdown_eval
+        _progress("topdown accuracy: face closed loop")
+        face = synthetic_topdown_eval("face", n_frames=8, batch=8, seed=0)
+        _progress("topdown accuracy: hand closed loop")
+        hand = synthetic_topdown_eval("hand", n_frames=8, batch=8, seed=1)
+        print(f"face RMSE {face['rmse_px']:.2f} px (PCK05 {face['pck05']:.3f}"
+              f", n={face['n_instances']}); hand RMSE {hand['rmse_px']:.2f}"
+              f" px (PCK05 {hand['pck05']:.3f}, n={hand['n_instances']})",
+              file=sys.stderr)
+        return {"face_rmse_px": round(face["rmse_px"], 3),
+                "hand_rmse_px": round(hand["rmse_px"], 3)}
+    except Exception as exc:          # never sink the headline number
+        _progress(f"topdown accuracy failed: {exc!r}")
+        return {}
 
 
 def _bf16_peak_tflops(device_kind: str) -> float:
@@ -292,6 +512,21 @@ def _bench_end_to_end() -> float:
         from openpose_tpu.pose.extractor import PoseExtractor
         from openpose_tpu.runtime.video_runner import VideoRunner
 
+        # tunnel-bandwidth probe: contextualizes run-to-run e2e variance
+        # (the device upload path is the e2e bottleneck on this harness)
+        import jax
+        import numpy as np
+        buf = np.zeros((32, 368, 656, 3), np.uint8)     # one e2e batch
+        jax.block_until_ready(jax.device_put(buf))      # warm
+        bw = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(jax.device_put(buf))
+            bw.append(buf.nbytes / (time.perf_counter() - t0) / 1e6)
+        print(f"e2e: tunnel upload bandwidth ~{max(bw):.0f} MB/s "
+              f"(reps: {', '.join(f'{b:.0f}' for b in bw)})",
+              file=sys.stderr)
+
         _progress("e2e: building people-capped pipeline")
         model = zoo.load_pose_model(PoseModel.BODY_25)
         inf = ShardedPoseInference(model, net_hw=(368, 656), max_peaks=16,
@@ -299,13 +534,16 @@ def _bench_end_to_end() -> float:
         runner = VideoRunner(inf, PoseExtractor(model), batch_size=32,
                              max_in_flight=6)
         runner.run_video(str(video), max_frames=64)      # compile + warm
-        best = 0.0
-        for _ in range(2):
+        rates = []
+        for _ in range(3):
             t0 = time.perf_counter()
             res = runner.run_video(str(video))
-            best = max(best, len(res) / (time.perf_counter() - t0))
+            rates.append(len(res) / (time.perf_counter() - t0))
+        best = max(rates)
         print(f"e2e disk->keypoints (batch 32, people-capped): "
-              f"{best:.1f} frames/s", file=sys.stderr)
+              f"{best:.1f} frames/s (reps: "
+              f"{', '.join(f'{r:.1f}' for r in rates)}; the spread bounds "
+              f"tunnel weather)", file=sys.stderr)
         return round(best, 2)
     except Exception as exc:          # never sink the headline number
         _progress(f"e2e bench failed: {exc!r}")

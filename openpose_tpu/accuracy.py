@@ -260,6 +260,7 @@ def train_to_ap(steps: int = 1500,
                 seed: int = 0,
                 checkpoint_dir: str = "",
                 lr_schedule: str = "constant",
+                target_sigma: float = 7.0,
                 verbose: bool = True) -> Dict[str, float]:
     """Train BODY_25 from scratch on rendered synthetic scenes, then measure
     COCO AP of the trained net through the FULL pipeline on held-out scenes.
@@ -280,7 +281,7 @@ def train_to_ap(steps: int = 1500,
         model=PoseModel.BODY_25, image_size=image_size, batch_size=batch,
         learning_rate=learning_rate, steps=steps, checkpoint_every=steps,
         checkpoint_dir=checkpoint_dir or tempfile.mkdtemp(prefix="t2ap_"),
-        lr_schedule=lr_schedule)
+        lr_schedule=lr_schedule, target_sigma=target_sigma)
     data = train_loop.synthetic_scene_iterator(config, seed=seed,
                                                people_range=people_range)
     train_stats: Dict[str, float] = {}
@@ -310,7 +311,7 @@ def train_to_ap(steps: int = 1500,
             saver.record(pred.keypoints, pred.scores, image_id)
     metrics = coco_eval.evaluate(saver.entries[json_io.VARIANT_BODY], gts)
     metrics.update(steps=steps, n_eval=n_eval, lr_schedule=lr_schedule,
-                   **train_stats)
+                   target_sigma=target_sigma, **train_stats)
     return metrics
 
 

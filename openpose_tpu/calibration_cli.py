@@ -31,7 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
         prog="openpose_tpu.calibration_cli",
         description="camera calibration toolbox (intrinsics / extrinsics)")
     p.add_argument("--mode", type=int, default=1,
-                   help="1 = intrinsics, 2 = extrinsics (calibration.cpp)")
+                   help="1 = intrinsics, 2 = extrinsics, 4 = VisualSFM "
+                        "SIFT export (calibration.cpp)")
+    p.add_argument("--number_cameras", type=int, default=4,
+                   help="mode 4: cameras per view (calibration.cpp:32)")
     p.add_argument("--calibration_image_dir", default="images/intrinsics/")
     p.add_argument("--grid_square_size_mm", type=float, default=127.0)
     p.add_argument("--grid_number_inner_corners", default="9x6")
@@ -130,7 +133,19 @@ def main(argv=None) -> int:
               f"{len(rels)} pairs -> {out}")
         return 0
 
-    raise SystemExit(f"unsupported --mode {args.mode} (1 or 2)")
+    if args.mode == 4:
+        # VisualSFM/SiftGPU export of chessboard correspondences
+        # (estimateAndSaveSiftFile, cameraParameterEstimation.cpp:2340-2420)
+        from openpose_tpu.threed import visualsfm
+        report = visualsfm.estimate_and_save_sift_files(
+            grid, args.calibration_image_dir, args.number_cameras)
+        print(f"{report['n_views']} views x {args.number_cameras} cameras: "
+              f"boards found per camera {report['found']}; wrote "
+              f"{len(report['sift_files'])} .sift files + "
+              f"{report['matches_file']}")
+        return 0
+
+    raise SystemExit(f"unsupported --mode {args.mode} (1, 2 or 4)")
 
 
 if __name__ == "__main__":

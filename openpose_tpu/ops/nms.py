@@ -64,11 +64,13 @@ def _refine_at_peaks(heat: jax.Array, peak_idx: jax.Array,
 
     Gather shape matters enormously here: 49 independent element gathers per
     peak cost ~3 ms/frame at batch 8 (TPU gathers of single f32s run on the
-    scalar path), and 7x7 tile gathers were no better.  Instead this fetches
-    the 7 FULL ROWS covering each window — W-contiguous vector loads — and
-    replaces the column selection with a masked reduction over x (|x - px|
-    <= 3), which rides the VPU.  Taps outside the true window mask to zero,
-    reproducing the reference's skipped out-of-bounds taps exactly.
+    scalar path), and 7x7 tile gathers were no better.  Instead this fetches,
+    per window row, the TWO aligned 64-px column blocks covering the window
+    (the 7-px window always fits in 128 aligned columns) — contiguous vector
+    loads at ~W/128 the traffic of full rows — and replaces the column
+    selection with a masked reduction over the 128 lanes, which rides the
+    VPU.  Taps outside the true window mask to zero, reproducing the
+    reference's skipped out-of-bounds taps exactly.
     """
     n, h, w, c = heat.shape
     k = peak_idx.shape[2]
@@ -77,23 +79,44 @@ def _refine_at_peaks(heat: jax.Array, peak_idx: jax.Array,
     d = jnp.arange(-3, 4, dtype=jnp.int32)
     wy = py[..., None] + d                               # [N,C,K,7]
     row_ok = (wy >= 0) & (wy < h)
-    heat_nchw = heat.transpose(0, 3, 1, 2)               # [N,C,H,W], W minor
-    ri = jnp.clip(wy, 0, h - 1).reshape(n, c, k * 7)
-    rows = jnp.take_along_axis(
-        heat_nchw, ri[..., None], axis=2).reshape(n, c, k, 7, w)
+    ri = jnp.clip(wy, 0, h - 1)                          # [N,C,K,7]
 
-    xs = jnp.arange(w, dtype=jnp.int32)
-    mask_x = jnp.abs(xs - px[..., None]) <= 3            # [N,C,K,W]
+    bs = 64
+    nbw = -(-w // bs)
+    heat_nchw = heat.transpose(0, 3, 1, 2)               # [N,C,H,W], W minor
+    if nbw * bs != w:
+        heat_nchw = jnp.pad(heat_nchw,
+                            ((0, 0),) * 3 + ((0, nbw * bs - w),))
+    blocked = heat_nchw.reshape(n, c, h * nbw, bs)
+    if nbw == 1:
+        blk_lo = jnp.zeros_like(px)
+        flat = ri.reshape(n, c, k * 7)
+        win = jnp.take_along_axis(
+            blocked, flat[..., None], axis=2).reshape(n, c, k, 7, bs)
+        xs = jnp.arange(bs, dtype=jnp.int32)
+        xs_local = jnp.broadcast_to(xs, px.shape + (bs,))
+    else:
+        blk_lo = jnp.clip((px - 3) // bs, 0, nbw - 2)    # [N,C,K]
+        # flat (row, block) indices for the two adjacent blocks of each row
+        base = ri * nbw + blk_lo[..., None]              # [N,C,K,7]
+        flat = jnp.stack([base, base + 1], axis=-1).reshape(n, c, k * 14)
+        win = jnp.take_along_axis(
+            blocked, flat[..., None], axis=2).reshape(n, c, k, 7, 2 * bs)
+        xs_local = blk_lo[..., None] * bs \
+            + jnp.arange(2 * bs, dtype=jnp.int32)        # [N,C,K,128]
+
+    mask_x = (jnp.abs(xs_local - px[..., None]) <= 3) \
+        & (xs_local < w)                                 # [N,C,K,L]
     s = jnp.where(mask_x[..., None, :] & row_ok[..., None],
-                  jnp.maximum(rows, 0.0), 0.0)           # [N,C,K,7,W]
+                  jnp.maximum(win, 0.0), 0.0)            # [N,C,K,7,L]
     s_sum = s.sum(axis=(-1, -2))
     denom = jnp.where(s_sum > 0, s_sum, 1.0)
-    x_ref = (s.sum(axis=-2) * xs).sum(axis=-1) / denom + offset[0]
+    x_ref = (s.sum(axis=-2) * xs_local).sum(axis=-1) / denom + offset[0]
     y_ref = (s.sum(axis=-1) * wy.astype(s.dtype)).sum(axis=-1) / denom \
         + offset[1]
-    center = (xs == px[..., None])[..., None, :] \
+    center = (xs_local == px[..., None])[..., None, :] \
         & (wy == py[..., None])[..., None]
-    value = jnp.sum(jnp.where(center, rows, 0.0), axis=(-1, -2))
+    value = jnp.sum(jnp.where(center, win, 0.0), axis=(-1, -2))
     return x_ref, y_ref, value
 
 

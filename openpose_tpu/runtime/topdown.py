@@ -52,8 +52,8 @@ class TopDownExtractor:
             x = resize.normalize_vgg(crops)
             from openpose_tpu.models import graph as _graph
             out = _graph.forward(params, model.spec, x, dtype)
-            up = resize.resize_bicubic(out, (net_size, net_size))
-            return maximum.channel_argmax(up)
+            # windowed equivalent of 8x-upsample + argmax (ops/maximum)
+            return maximum.channel_argmax_refined(out)
 
         fn = jax.jit(run)
         self._fn_cache[key] = fn

@@ -65,6 +65,10 @@ class TrainConfig:
     # with residual localization error on the sub-pixel refinement scale).
     lr_schedule: str = "constant"
     warmup_steps: int = 100
+    # Confidence-map Gaussian stddev in input px (CMU openpose_train's
+    # sigma; sharper targets sharpen the learned peaks and cut the
+    # decoded localization error).
+    target_sigma: float = 7.0
 
 
 def coco_data_iterator(images_dir: str, annotations_json: str,
@@ -183,7 +187,7 @@ def train(config: TrainConfig, data: Iterator, verbose: bool = True,
     def full_step(state, images, keypoints):
         targets = train_mod.make_targets(
             keypoints, pairs, map_idx, (h, w), info.num_parts,
-            info.heatmap_channels)
+            info.heatmap_channels, sigma=config.target_sigma)
         return base_step(state, normalize_vgg(images), targets)
 
     batch_sh = mesh_lib.batch_sharding(mesh)

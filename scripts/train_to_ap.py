@@ -24,6 +24,7 @@ def main(argv=None) -> int:
     ap.add_argument("--eval_images", type=int, default=16)
     ap.add_argument("--schedule", default="constant",
                     choices=("constant", "cosine"))
+    ap.add_argument("--sigma", type=float, default=7.0)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default="TRAIN2AP.json")
     args = ap.parse_args(argv)
@@ -37,7 +38,7 @@ def main(argv=None) -> int:
     h, w = (int(v) for v in args.image_size.split("x"))
     m = train_to_ap(steps=args.steps, image_size=(h, w), batch=args.batch,
                     learning_rate=args.lr, n_eval=args.eval_images,
-                    lr_schedule=args.schedule)
+                    lr_schedule=args.schedule, target_sigma=args.sigma)
     print(json.dumps(m))
     if args.out:
         with open(args.out, "w") as f:

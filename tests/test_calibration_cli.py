@@ -127,3 +127,75 @@ def test_mode2_extrinsics(tmp_path, board):
     got = read_camera_xml(str(out_dir / "cam1.xml"))
     assert np.allclose(got.camera_matrix[:3, :3], r_rel, atol=0.02)
     assert np.allclose(got.camera_matrix[:3, 3], t_rel, atol=0.02)
+
+
+class TestVisualSFMExport:
+    def test_sift_binary_layout_roundtrip(self, tmp_path):
+        """Exact SiftGPU V4.0 layout (writeVisualSFMSiftGPU,
+        cameraParameterEstimation.cpp:662-719)."""
+        import struct
+        from openpose_tpu.threed import visualsfm
+        pts = np.array([[1.5, 2.5], [10.0, 20.0], [-1.0, -1.0]], np.float32)
+        path = tmp_path / "00_00.sift"
+        visualsfm.write_visualsfm_sift(str(path), pts)
+        data = path.read_bytes()
+        name, ver, n, kdim, ddim = struct.unpack_from("<5i", data)
+        assert name == visualsfm.SIFT_NAME and ver == visualsfm.SIFT_VERSION_4
+        assert (n, kdim, ddim) == (3, 5, 128)
+        assert len(data) == 20 + 3 * 5 * 4 + 3 * 128 + 4
+        keys = np.frombuffer(data, np.float32, count=15, offset=20)
+        keys = keys.reshape(3, 5)
+        np.testing.assert_array_equal(keys[:, :2], pts)
+        np.testing.assert_array_equal(keys[:, 3], 1.0)     # scale
+        np.testing.assert_array_equal(
+            visualsfm.read_visualsfm_sift(str(path)), pts)
+
+    def test_camera_file_stem(self):
+        from openpose_tpu.threed import visualsfm
+        assert visualsfm.camera_file_stem(3) == "00_03"
+        assert visualsfm.camera_file_stem(12) == "00_12"
+        with pytest.raises(ValueError):
+            visualsfm.camera_file_stem(100)
+
+    def test_feature_matches_intersection(self, tmp_path):
+        from openpose_tpu.threed import visualsfm
+        path = tmp_path / "FeatureMatches.txt"
+        visualsfm.write_feature_matches(
+            str(path), [[0, 1, 2, 3], [2, 3, 4], [0, 2]])
+        lines = path.read_text().splitlines()
+        assert lines[0] == "00_00.jpg 00_01.jpg 2"
+        assert lines[1].split() == ["2", "3"]
+        assert lines[1] == lines[2]                # repeated twice
+        assert lines[4] == "00_00.jpg 00_02.jpg 2"
+        assert lines[8] == "00_01.jpg 00_02.jpg 1"
+
+    def test_mode4_end_to_end(self, tmp_path, board):
+        """Two cameras x three views of the rendered board -> .sift files
+        whose corner counts and match file agree."""
+        from openpose_tpu.threed import visualsfm
+        img_dir = tmp_path / "sift_imgs"
+        img_dir.mkdir()
+        r_rel, _ = cv2.Rodrigues(np.float32([0, 0.06, 0]))
+        t_rel = np.float32([-0.15, 0.0, 0.0])
+        for i, (rv, tv) in enumerate(VIEWS[:3]):
+            cv2.imwrite(str(img_dir / f"v{i}_a.png"),
+                        _render_view(board, K_TRUE, rv, tv))
+            r0, _ = cv2.Rodrigues(rv)
+            rv1, _ = cv2.Rodrigues(r_rel @ r0)
+            t1 = r_rel @ tv.reshape(3) + t_rel
+            cv2.imwrite(str(img_dir / f"v{i}_b.png"),
+                        _render_view(board, K_TRUE, rv1.reshape(-1),
+                                     np.float32(t1)))
+        rc = calib_main([
+            "--mode", "4", "--calibration_image_dir", str(img_dir),
+            "--grid_number_inner_corners", "9x6", "--number_cameras", "2"])
+        assert rc == 0
+        n_corners = GRID[0] * GRID[1]
+        for cam in range(2):
+            pts = visualsfm.read_visualsfm_sift(
+                str(img_dir / f"00_0{cam}.sift"))
+            assert pts.shape == (3 * n_corners, 2)
+        matches = (img_dir / "FeatureMatches.txt").read_text().splitlines()
+        assert matches[0].startswith("00_00.jpg 00_01.jpg")
+        n_matched = int(matches[0].split()[-1])
+        assert n_matched > 0 and n_matched % n_corners == 0

@@ -76,6 +76,45 @@ class TestNms:
         np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+class TestChannelArgmax:
+    def _gaussian_maps(self, n, h, w, c, seed, lo=8.0, sigma=7.0):
+        rng = np.random.RandomState(seed)
+        gridx = (np.arange(w) + 0.5) * 8 - 0.5
+        gridy = (np.arange(h) + 0.5) * 8 - 0.5
+        maps = np.zeros((n, h, w, c), np.float32)
+        for i in range(n):
+            for ch in range(c):
+                gx = rng.uniform(lo, 8 * w - 1 - lo)
+                gy = rng.uniform(lo, 8 * h - 1 - lo)
+                d2 = ((gridx[None, :] - gx) ** 2
+                      + (gridy[:, None] - gy) ** 2)
+                maps[i, :, :, ch] = (np.exp(-d2 / (2 * sigma * sigma))
+                                     + 0.01 * rng.randn(h, w))
+        return maps
+
+    def test_refined_equals_full_upsample_interior(self):
+        """channel_argmax_refined must reproduce the reference decode
+        (8x bicubic upsample -> argmax, faceExtractorCaffe.cpp:230-310)
+        bit-exactly for interior peaks."""
+        from openpose_tpu.ops import maximum
+        maps = self._gaussian_maps(4, 24, 30, 13, seed=0)
+        full = np.asarray(maximum.channel_argmax(
+            resize.resize_bicubic(jnp.asarray(maps), (24 * 8, 30 * 8))))
+        fast = np.asarray(maximum.channel_argmax_refined(jnp.asarray(maps)))
+        np.testing.assert_array_equal(full[..., :2], fast[..., :2])
+        np.testing.assert_allclose(full[..., 2], fast[..., 2], atol=1e-5)
+
+    def test_refined_near_border_within_one_px(self):
+        """Edge-clamped windows may differ from the full path's tap
+        clamping by at most 1 upsampled px."""
+        from openpose_tpu.ops import maximum
+        maps = self._gaussian_maps(2, 24, 30, 13, seed=1, lo=0.0, sigma=3.0)
+        full = np.asarray(maximum.channel_argmax(
+            resize.resize_bicubic(jnp.asarray(maps), (24 * 8, 30 * 8))))
+        fast = np.asarray(maximum.channel_argmax_refined(jnp.asarray(maps)))
+        assert np.abs(full[..., :2] - fast[..., :2]).max() <= 1.0
+
+
 class TestResize:
     @pytest.mark.parametrize("shape,target", [((6, 10), (48, 80)),
                                               ((9, 7), (36, 28))])
