@@ -104,19 +104,43 @@ def main() -> None:
         peaks, scores = _post(synth + c * 1e-12, fast_peaks=0)
         return c + peaks[0, 0, 0, 0] * 1e-12 + scores[0, 0, 0, 0] * 1e-12
 
+    # Realistic crowd: 32 people/frame through the PRODUCTION tier config —
+    # the people-count-invariance evidence on content the reference's
+    # "runtime invariant to #people" claim describes (README.md:63-68);
+    # the worst-case row above saturates the full 127-slot BUDGET instead.
+    from openpose_tpu import scenes as _scenes
+    kp32 = np.zeros((batch, 32, num_parts, 3), np.float32)
+    for b in range(batch):
+        kp32[b] = _scenes.random_people(
+            np.random.RandomState(100 + b), 32, (net_h, net_w),
+            min_spacing=30.0)[:, :num_parts]
+    crowd = jax.block_until_ready(train.make_targets(
+        jnp.asarray(kp32), pairs, map_idx, (net_h, net_w), num_parts,
+        info.heatmap_channels))
+
+    def step_post_crowd(c):
+        peaks, scores = _post(crowd + c * 1e-12, fast_peaks=(16, 48))
+        return c + peaks[0, 0, 0, 0] * 1e-12 + scores[0, 0, 0, 0] * 1e-12
+
     _progress('timing net forward chain')
     net_ms = chain_ms(step_net)
     _progress(f'net {net_ms:.1f} ms/iter; timing post chain')
     post_ms = chain_ms(step_post)
-    _progress(f'post {post_ms:.1f} ms/iter; timing worst-case post chain')
+    _progress(f'post {post_ms:.1f} ms/iter; timing crowd post chain')
+    crowd_ms = chain_ms(step_post_crowd, n_lo=2, n_hi=12)
+    _progress(f'crowd {crowd_ms:.1f} ms/iter; timing worst-case post chain')
     worst_ms = chain_ms(step_post_worst, n_lo=2, n_hi=8)
 
     frame_ms = (net_ms + post_ms) / batch
+    crowd_frame_ms = (net_ms + crowd_ms) / batch
     worst_frame_ms = (net_ms + worst_ms) / batch
     fps = 1000.0 / frame_ms
     print(f"batch={batch}: net {net_ms / batch:.2f} ms/frame, "
           f"post {post_ms / batch:.2f} ms/frame -> {fps:.1f} frames/s",
           file=sys.stderr)
+    print(f"crowd (32 people/frame, production tiers): post "
+          f"{crowd_ms / batch:.2f} ms/frame -> "
+          f"{1000.0 / crowd_frame_ms:.1f} frames/s", file=sys.stderr)
 
     # MFU accounting (north star: CNN at speed-of-light per chip)
     gflops_frame = sum(graph.count_flops(model.spec,
@@ -152,6 +176,7 @@ def main() -> None:
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / baseline, 3),
         "worst_case_fps": round(1000.0 / worst_frame_ms, 2),
+        "crowd32_fps": round(1000.0 / crowd_frame_ms, 2),
         "e2e_disk_to_keypoints_fps": e2e_fps,
         "e2e_colocated_est_fps": colocated,
         "host_tail_fps": host_tail_fps,

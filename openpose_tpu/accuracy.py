@@ -282,8 +282,9 @@ def train_to_ap(steps: int = 1500,
         learning_rate=learning_rate, steps=steps, checkpoint_every=steps,
         checkpoint_dir=checkpoint_dir or tempfile.mkdtemp(prefix="t2ap_"),
         lr_schedule=lr_schedule, target_sigma=target_sigma)
-    data = train_loop.synthetic_scene_iterator(config, seed=seed,
-                                               people_range=people_range)
+    data = train_loop.synthetic_scene_iterator(
+        config, seed=seed, people_range=people_range,
+        prefetch_workers=2)
     train_stats: Dict[str, float] = {}
     state = train_loop.train(config, data, verbose=verbose,
                              stats_out=train_stats)

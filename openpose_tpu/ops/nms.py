@@ -52,7 +52,8 @@ def _searchsorted_rows(cum: jax.Array, ranks: jax.Array) -> jax.Array:
 
 
 def _refine_at_peaks(heat: jax.Array, peak_idx: jax.Array,
-                     offset: Tuple[float, float]
+                     offset: Tuple[float, float],
+                     blocked: bool = True
                      ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Sub-pixel refinement gathered only at the peak windows.
 
@@ -64,13 +65,21 @@ def _refine_at_peaks(heat: jax.Array, peak_idx: jax.Array,
 
     Gather shape matters enormously here: 49 independent element gathers per
     peak cost ~3 ms/frame at batch 8 (TPU gathers of single f32s run on the
-    scalar path), and 7x7 tile gathers were no better.  Instead this fetches,
-    per window row, the TWO aligned 64-px column blocks covering the window
-    (the 7-px window always fits in 128 aligned columns) — contiguous vector
-    loads at ~W/128 the traffic of full rows — and replaces the column
-    selection with a masked reduction over the 128 lanes, which rides the
-    VPU.  Taps outside the true window mask to zero, reproducing the
-    reference's skipped out-of-bounds taps exactly.
+    scalar path), and 7x7 tile gathers were no better.  Two shapes are used
+    depending on the slot budget (measured batch-8 368x656 post chain):
+
+    * blocked=False (small tiers, k <= ~48): fetch the 7 FULL ROWS covering
+      each window — at small k the row tensor is cheap and the single
+      7-gather wins (blocked at tier 16 cost +1.4 ms/iter of extra gather
+      dispatch);
+    * blocked=True (large budgets): fetch, per window row, the TWO aligned
+      64-px column blocks covering the window (a 7-px window always fits in
+      128 aligned columns) — ~W/128 of the full-row traffic, which at
+      k=127 cut the worst-case post chain 20.5 -> 19.0 ms/iter.
+
+    Either way the column selection is a masked reduction over the lane
+    dimension, and taps outside the true window mask to zero, reproducing
+    the reference's skipped out-of-bounds taps exactly.
     """
     n, h, w, c = heat.shape
     k = peak_idx.shape[2]
@@ -81,27 +90,26 @@ def _refine_at_peaks(heat: jax.Array, peak_idx: jax.Array,
     row_ok = (wy >= 0) & (wy < h)
     ri = jnp.clip(wy, 0, h - 1)                          # [N,C,K,7]
 
+    heat_nchw = heat.transpose(0, 3, 1, 2)               # [N,C,H,W], W minor
     bs = 64
     nbw = -(-w // bs)
-    heat_nchw = heat.transpose(0, 3, 1, 2)               # [N,C,H,W], W minor
-    if nbw * bs != w:
-        heat_nchw = jnp.pad(heat_nchw,
-                            ((0, 0),) * 3 + ((0, nbw * bs - w),))
-    blocked = heat_nchw.reshape(n, c, h * nbw, bs)
-    if nbw == 1:
-        blk_lo = jnp.zeros_like(px)
+    if not blocked or nbw == 1:
         flat = ri.reshape(n, c, k * 7)
         win = jnp.take_along_axis(
-            blocked, flat[..., None], axis=2).reshape(n, c, k, 7, bs)
-        xs = jnp.arange(bs, dtype=jnp.int32)
-        xs_local = jnp.broadcast_to(xs, px.shape + (bs,))
+            heat_nchw, flat[..., None], axis=2).reshape(n, c, k, 7, w)
+        xs = jnp.arange(w, dtype=jnp.int32)
+        xs_local = jnp.broadcast_to(xs, px.shape + (w,))
     else:
+        if nbw * bs != w:
+            heat_nchw = jnp.pad(heat_nchw,
+                                ((0, 0),) * 3 + ((0, nbw * bs - w),))
+        blocks = heat_nchw.reshape(n, c, h * nbw, bs)
         blk_lo = jnp.clip((px - 3) // bs, 0, nbw - 2)    # [N,C,K]
         # flat (row, block) indices for the two adjacent blocks of each row
         base = ri * nbw + blk_lo[..., None]              # [N,C,K,7]
         flat = jnp.stack([base, base + 1], axis=-1).reshape(n, c, k * 14)
         win = jnp.take_along_axis(
-            blocked, flat[..., None], axis=2).reshape(n, c, k, 7, 2 * bs)
+            blocks, flat[..., None], axis=2).reshape(n, c, k, 7, 2 * bs)
         xs_local = blk_lo[..., None] * bs \
             + jnp.arange(2 * bs, dtype=jnp.int32)        # [N,C,K,128]
 
@@ -218,7 +226,7 @@ def nms(heatmaps: jax.Array, threshold: jax.Array, max_peaks: int = 127,
         """Refine the leading k slots, zero-pad the rest (exact when the
         true count <= k everywhere)."""
         x_ref, y_ref, value = _refine_at_peaks(heat, peak_idx[:, :, :k],
-                                               offset)
+                                               offset, blocked=k > 48)
         vk = valid[:, :, :k]
         peaks_k = jnp.stack([jnp.where(vk, x_ref, 0.0),
                              jnp.where(vk, y_ref, 0.0),

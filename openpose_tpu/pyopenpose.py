@@ -247,9 +247,10 @@ class WrapperPython:
             raise ValueError("datum.cvInputData is empty")
         face_rects = ([tuple(r) for r in datum.faceRectangles]
                       if datum.faceRectangles else None)
-        hand_rects = ([tuple(x) for pair in datum.handRectangles
-                       for x in (pair if isinstance(pair, (list, tuple))
-                                 and len(pair) == 2 else (pair,))]
+        # handRectangles is a (left, right) Rectangle pair per person
+        # (openpose_python.cpp / datum.hpp:166-172)
+        hand_rects = ([(tuple(pair[0]), tuple(pair[1]))
+                       for pair in datum.handRectangles]
                       if datum.handRectangles else None)
         d = self._wrapper.process(
             datum.cvInputData, datum.id, datum.name,

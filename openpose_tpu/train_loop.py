@@ -112,32 +112,70 @@ def coco_data_iterator(images_dir: str, annotations_json: str,
 
 
 def synthetic_scene_iterator(config: TrainConfig, seed: int = 0,
-                             people_range: Tuple[int, int] = (1, 3)
+                             people_range: Tuple[int, int] = (1, 3),
+                             prefetch_workers: int = 0
                              ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """Yield rendered synthetic scenes (images + keypoints) endlessly.
 
     The synthetic-domain counterpart of coco_data_iterator: skeletons drawn
     as color-coded joints/limbs (scenes.render_scene_image) with matching
     keypoint annotations — enough to demonstrate that training produces a
-    net the full pipeline can decode to AP (see accuracy.train_to_ap)."""
+    net the full pipeline can decode to AP (see accuracy.train_to_ap).
+
+    prefetch_workers > 0: render batches in that many background threads
+    (cv2/numpy release the GIL) with per-worker seeds and hand them over a
+    bounded queue — at 368x656 one thread renders ~600 ms/batch, slower
+    than the device step, so an unprefetched trainer is input-bound.  Batch
+    ORDER becomes interleave-dependent; content is still seed-derived."""
     from openpose_tpu import scenes
-    rng = np.random.RandomState(seed)
     h, w = config.image_size
     n_parts = POSE_MODEL_INFO[config.model].num_parts
     hr = (max(80.0, h * 0.45), h * 0.9)
-    while True:
-        imgs = np.zeros((config.batch_size, h, w, 3), np.float32)
-        kps = np.zeros((config.batch_size, config.max_people, n_parts, 3),
-                       np.float32)
-        for b in range(config.batch_size):
-            people = scenes.random_people(
-                rng, rng.randint(people_range[0], people_range[1] + 1),
-                (h, w), height_range=hr, min_spacing=60.0)
-            if n_parts < 25:
-                people = people[:, :n_parts]
-            kps[b, :people.shape[0]] = people
-            imgs[b] = scenes.render_scene_image(people, (h, w), rng=rng)
-        yield imgs, kps
+
+    def gen(worker_seed: int):
+        rng = np.random.RandomState(worker_seed)
+        while True:
+            imgs = np.zeros((config.batch_size, h, w, 3), np.float32)
+            kps = np.zeros(
+                (config.batch_size, config.max_people, n_parts, 3),
+                np.float32)
+            for b in range(config.batch_size):
+                people = scenes.random_people(
+                    rng, rng.randint(people_range[0], people_range[1] + 1),
+                    (h, w), height_range=hr, min_spacing=60.0)
+                if n_parts < 25:
+                    people = people[:, :n_parts]
+                kps[b, :people.shape[0]] = people
+                imgs[b] = scenes.render_scene_image(people, (h, w), rng=rng)
+            yield imgs, kps
+
+    if prefetch_workers <= 0:
+        yield from gen(seed)
+        return
+
+    import queue as queue_mod
+    import threading
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=2 * prefetch_workers)
+    stop = threading.Event()
+
+    def worker(worker_seed: int):
+        it = gen(worker_seed)
+        while not stop.is_set():
+            try:
+                q.put(next(it), timeout=0.5)
+            except queue_mod.Full:
+                continue
+
+    threads = [threading.Thread(target=worker, args=(seed + 1000 * i,),
+                                daemon=True)
+               for i in range(prefetch_workers)]
+    for t in threads:
+        t.start()
+    try:
+        while True:
+            yield q.get()
+    finally:
+        stop.set()
 
 
 def train(config: TrainConfig, data: Iterator, verbose: bool = True,

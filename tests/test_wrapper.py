@@ -182,6 +182,25 @@ class TestPyOpenPoseAsyncAndInjection:
         if cands is not None:
             assert len(cands) == info.num_parts
 
+    def test_hand_rectangle_pairs_injection(self):
+        """handRectangles carries (left, right) pairs per person
+        (datum.hpp:166-172); the shim must preserve the pair structure
+        for detector mode 2."""
+        from openpose_tpu import pyopenpose as op
+        w = op.WrapperPython()
+        w.configure({"model_pose": "MPI_15_4", "net_resolution": "-1x64",
+                     "hand": 1, "hand_detector": 2})
+        w.start()
+        d = op.Datum()
+        d.cvInputData = np.random.RandomState(6).randint(
+            0, 255, (96, 128, 3), np.uint8)
+        d.handRectangles = [[op.Rectangle(10, 10, 30, 30),
+                             op.Rectangle(60, 30, 30, 30)]]
+        assert w.emplaceAndPop([d])
+        left, right = d.handKeypoints
+        assert left is not None and left.shape[1:] == (21, 3)
+        assert right is not None and right.shape[1:] == (21, 3)
+
     def test_get_images_on_directory(self, tmp_path):
         from openpose_tpu import pyopenpose as op
         (tmp_path / "b.jpg").write_bytes(b"x")
