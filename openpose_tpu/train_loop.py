@@ -226,7 +226,10 @@ def train(config: TrainConfig, data: Iterator, verbose: bool = True,
         targets = train_mod.make_targets(
             keypoints, pairs, map_idx, (h, w), info.num_parts,
             info.heatmap_channels, sigma=config.target_sigma)
-        return base_step(state, normalize_vgg(images), targets)
+        # images arrive uint8 (quarter the host->device bytes; the cast
+        # fuses into normalize like the inference path)
+        return base_step(state, normalize_vgg(images.astype(jnp.float32)),
+                         targets)
 
     batch_sh = mesh_lib.batch_sharding(mesh)
     step_fn = jax.jit(full_step, donate_argnums=(0,),
@@ -238,6 +241,8 @@ def train(config: TrainConfig, data: Iterator, verbose: bool = True,
     with mesh:
         for step in range(config.steps):
             images, keypoints = next(data)
+            if images.dtype != np.uint8:
+                images = np.clip(images, 0, 255).astype(np.uint8)
             state, loss = step_fn(state, jnp.asarray(images),
                                   jnp.asarray(keypoints))
             if step == 0:
