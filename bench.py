@@ -158,6 +158,7 @@ def main() -> None:
 
     batch1 = _bench_batch1(model, images, synth, _post)
     wb = _bench_whole_body(net_ms, post_ms, gflops_frame, batch, peak)
+    ms4 = _bench_multiscale(model)
     e2e_fps = _bench_end_to_end()
     host_tail_fps = _bench_host_tail()
     ap = _bench_synthetic_ap(model)
@@ -191,6 +192,7 @@ def main() -> None:
         "device_kind": kind,
         **batch1,
         **wb,
+        **ms4,
     }))
 
 
@@ -376,6 +378,49 @@ def _bench_whole_body(net_ms: float, post_ms: float,
         }
     except Exception as exc:          # never sink the headline number
         _progress(f"whole-body bench failed: {exc!r}")
+        return {}
+
+
+def _bench_multiscale(model) -> dict:
+    """Max-accuracy config throughput: 4 scales, scale-0 net 1312x736 —
+    the reference's highest-accuracy recipe
+    (doc/01_demo.md "Maximum Accuracy Configuration":
+    --net_resolution 1312x736 --scale_number 4 --scale_gap 0.25), measured
+    through the same sharded program the CLI multi-scale path uses."""
+    try:
+        import jax
+        import numpy as np
+        import jax.numpy as jnp
+        from openpose_tpu.models import graph
+        from openpose_tpu.parallel.inference import ShardedPoseInference
+        from openpose_tpu.utils.benchmark import chain_ms
+
+        _progress("multi-scale: building 4-scale 1312x736 program")
+        batch = 4
+        inf = ShardedPoseInference(model, net_hw=(736, 1312),
+                                   scale_number=4, scale_gap=0.25,
+                                   max_peaks=16, nms_threshold=0.05)
+        rng = np.random.RandomState(2)
+        frames = jnp.asarray(rng.uniform(
+            0, 255, (batch, 736, 1312, 3)).astype(np.float32))
+        fn = inf._fn
+
+        def step(c):
+            peaks, scores = fn(inf.params, frames + c * 1e-12)
+            return c + peaks[0, 0, 0, 0] * 1e-12 + scores[0, 0, 0, 0] * 1e-12
+
+        ms = chain_ms(step, n_lo=1, n_hi=4)
+        gflops = sum(
+            sum(graph.count_flops(model.spec, (h, w)).values())
+            for w, h in inf.plan.net_input_sizes) / 1e9
+        fps = 1000.0 * batch / ms
+        print(f"max-accuracy (4 scales, 1312x736 scale-0): "
+              f"{ms / batch:.1f} ms/frame -> {fps:.2f} frames/s "
+              f"({gflops:.0f} GFLOP/frame)", file=sys.stderr)
+        return {"multiscale4_fps": round(fps, 3),
+                "multiscale4_gflops_per_frame": round(gflops, 1)}
+    except Exception as exc:          # never sink the headline number
+        _progress(f"multi-scale bench failed: {exc!r}")
         return {}
 
 

@@ -39,6 +39,10 @@ def main(argv=None) -> int:
                     help="rendered-keypoint jitter stddev (px)")
     ap.add_argument("--sweep", action="store_true",
                     help="run the full noise + jitter sweeps")
+    ap.add_argument("--topdown", choices=("face", "hand"), default="",
+                    help="instead of body AP, run the closed-loop face/"
+                         "hand localization eval (accuracy."
+                         "synthetic_topdown_eval)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend")
     ap.add_argument("--out", default="", help="write results JSON here")
@@ -54,6 +58,16 @@ def main(argv=None) -> int:
     people = (int(lo), int(hi or lo))
     kw = dict(n_images=args.images, net_hw=(h, w), people_range=people,
               batch=args.batch, seed=args.seed)
+
+    if args.topdown:
+        results = accuracy.synthetic_topdown_eval(
+            args.topdown, n_frames=args.images, frame_hw=(h, w),
+            people_range=people, batch=args.batch, seed=args.seed)
+        print(json.dumps(results))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=2)
+        return 0
 
     if args.sweep:
         results = {"noise_sweep": accuracy.noise_sweep(**kw),
