@@ -48,7 +48,7 @@ def main() -> None:
     from openpose_tpu.models import graph, zoo
     from openpose_tpu.ops import nms, paf, resize
     from openpose_tpu.params import POSE_MAX_PEOPLE, PoseModel
-    from openpose_tpu.utils.benchmark import chain_ms
+    from openpose_tpu.utils.benchmark import chain_ms, fold
 
     _progress('imports done; loading BODY_25')
     model = zoo.load_pose_model(PoseModel.BODY_25)
@@ -84,7 +84,7 @@ def main() -> None:
         img = images + c * 1e-12
         out = graph.forward(model.params, model.spec,
                             resize.normalize_vgg(img), jnp.bfloat16)
-        return c + out[0, 0, 0, 0] * 1e-12
+        return fold(c, out)
 
     def _post(src, fast_peaks):
         merged = resize.resize_bicubic(src[..., :num_parts], (net_h, net_w))
@@ -98,11 +98,11 @@ def main() -> None:
 
     def step_post(c):
         peaks, scores = _post(synth + c * 1e-12, fast_peaks=(16, 48))
-        return c + peaks[0, 0, 0, 0] * 1e-12 + scores[0, 0, 0, 0] * 1e-12
+        return fold(c, peaks, scores)
 
     def step_post_worst(c):
         peaks, scores = _post(synth + c * 1e-12, fast_peaks=0)
-        return c + peaks[0, 0, 0, 0] * 1e-12 + scores[0, 0, 0, 0] * 1e-12
+        return fold(c, peaks, scores)
 
     # Realistic crowd: 32 people/frame through the PRODUCTION tier config —
     # the people-count-invariance evidence on content the reference's
@@ -120,7 +120,7 @@ def main() -> None:
 
     def step_post_crowd(c):
         peaks, scores = _post(crowd + c * 1e-12, fast_peaks=(16, 48))
-        return c + peaks[0, 0, 0, 0] * 1e-12 + scores[0, 0, 0, 0] * 1e-12
+        return fold(c, peaks, scores)
 
     _progress('timing net forward chain')
     net_ms = chain_ms(step_net)
@@ -152,6 +152,21 @@ def main() -> None:
     print(f"CNN: {gflops_frame:.0f} GFLOP/frame @ {net_ms / batch:.2f} "
           f"ms/frame = {achieved_tflops:.0f} TFLOP/s on {kind} "
           f"(peak {peak:.0f} bf16) -> MFU {mfu:.1%}", file=sys.stderr)
+    if not _roofline_ok("cnn_headline", gflops_frame, net_ms / batch):
+        # One retry with a longer chain (amortizes any residual fixed cost
+        # mis-cancellation); if STILL impossible the headline publishes as
+        # 0.0 — visibly invalid beats silently inflated.
+        _progress("re-measuring net chain (n_hi=44) after roofline fail")
+        net_ms = chain_ms(step_net, n_lo=2, n_hi=44)
+        achieved_tflops = gflops_frame / (net_ms / batch)
+        mfu = achieved_tflops / peak if peak else 0.0
+        frame_ms = (net_ms + post_ms) / batch
+        crowd_frame_ms = (net_ms + crowd_ms) / batch
+        worst_frame_ms = (net_ms + worst_ms) / batch
+        fps = 1000.0 / frame_ms
+        if not _roofline_ok("cnn_headline_retry", gflops_frame,
+                            net_ms / batch):
+            fps = 0.0
     print(f"worst-case (127 peaks/part): post {worst_ms / batch:.2f} "
           f"ms/frame -> {1000.0 / worst_frame_ms:.1f} frames/s",
           file=sys.stderr)
@@ -211,7 +226,7 @@ def _bench_batch1(model, images, synth, post_fn) -> dict:
         import numpy as np
         from openpose_tpu.models import graph
         from openpose_tpu.ops import resize
-        from openpose_tpu.utils.benchmark import chain_ms
+        from openpose_tpu.utils.benchmark import chain_ms, fold
         import jax.numpy as jnp
 
         _progress("batch-1: timing net + post chains")
@@ -222,12 +237,11 @@ def _bench_batch1(model, images, synth, post_fn) -> dict:
             out = graph.forward(model.params, model.spec,
                                 resize.normalize_vgg(img1 + c * 1e-12),
                                 jnp.bfloat16)
-            return c + out[0, 0, 0, 0] * 1e-12
+            return fold(c, out)
 
         def step_post1(c):
             peaks, scores = post_fn(synth1 + c * 1e-12, fast_peaks=(16, 48))
-            return c + peaks[0, 0, 0, 0] * 1e-12 \
-                + scores[0, 0, 0, 0] * 1e-12
+            return fold(c, peaks, scores)
 
         net1_ms = chain_ms(step_net1)
         post1_ms = chain_ms(step_post1)
@@ -288,7 +302,7 @@ def _bench_whole_body(net_ms: float, post_ms: float,
         from openpose_tpu.models import graph, zoo
         from openpose_tpu.ops import warp
         from openpose_tpu.parallel.inference import ShardedTopDown
-        from openpose_tpu.utils.benchmark import chain_ms
+        from openpose_tpu.utils.benchmark import chain_ms, fold
 
         _progress("whole-body: building face/hand stages")
         people = 4
@@ -322,11 +336,11 @@ def _bench_whole_body(net_ms: float, post_ms: float,
 
         def step_face(c):
             pk = fface(face_td.params, frames + c * 1e-12, face_tr)
-            return c + pk[0, 0, 0, 0] * 1e-12
+            return fold(c, pk)
 
         def step_hand(c):
             pk = fhand(hand_td.params, frames + c * 1e-12, hand_tr)
-            return c + pk[0, 0, 0, 0] * 1e-12
+            return fold(c, pk)
 
         _progress("whole-body: timing face chain")
         face_ms = chain_ms(step_face, n_lo=2, n_hi=8)
@@ -368,6 +382,8 @@ def _bench_whole_body(net_ms: float, post_ms: float,
               f"{total_gflops:.0f} GFLOP/frame, MFU {mfu:.1%} "
               f"(host geometry {geom_ms:.2f} ms/frame, overlapped)",
               file=sys.stderr)
+        if not _roofline_ok("whole_body", total_gflops, frame_ms):
+            return {}
         return {
             "whole_body_fps": round(fps, 2),
             "whole_body_face_ms": round(face_ms / batch, 3),
@@ -386,14 +402,23 @@ def _bench_multiscale(model) -> dict:
     the reference's highest-accuracy recipe
     (doc/01_demo.md "Maximum Accuracy Configuration":
     --net_resolution 1312x736 --scale_number 4 --scale_gap 0.25), measured
-    through the same sharded program the CLI multi-scale path uses."""
+    through the same sharded program the CLI multi-scale path uses.
+
+    Round-4 note: the previously published multiscale4_fps = 137.75 was an
+    invalid measurement — it implied 292 TFLOP/s on a 197-TFLOP/s-peak chip.
+    The chain carry folded only one scalar per output, and the TPU compiler
+    dead-code-eliminated part of the chained body (the exact pitfall
+    docs/performance.md records from round 3).  This version folds a FULL
+    reduction of both outputs into the carry (utils/benchmark.fold), chains
+    more iterations (n_hi=8), and the row passes through the roofline guard
+    below before publication."""
     try:
         import jax
         import numpy as np
         import jax.numpy as jnp
         from openpose_tpu.models import graph
         from openpose_tpu.parallel.inference import ShardedPoseInference
-        from openpose_tpu.utils.benchmark import chain_ms
+        from openpose_tpu.utils.benchmark import chain_ms, fold
 
         _progress("multi-scale: building 4-scale 1312x736 program")
         batch = 4
@@ -407,9 +432,9 @@ def _bench_multiscale(model) -> dict:
 
         def step(c):
             peaks, scores = fn(inf.params, frames + c * 1e-12)
-            return c + peaks[0, 0, 0, 0] * 1e-12 + scores[0, 0, 0, 0] * 1e-12
+            return fold(c, peaks, scores)
 
-        ms = chain_ms(step, n_lo=1, n_hi=4)
+        ms = chain_ms(step, n_lo=2, n_hi=8)
         gflops = sum(
             sum(graph.count_flops(model.spec, (h, w)).values())
             for w, h in inf.plan.net_input_sizes) / 1e9
@@ -417,11 +442,35 @@ def _bench_multiscale(model) -> dict:
         print(f"max-accuracy (4 scales, 1312x736 scale-0): "
               f"{ms / batch:.1f} ms/frame -> {fps:.2f} frames/s "
               f"({gflops:.0f} GFLOP/frame)", file=sys.stderr)
+        if not _roofline_ok("multiscale4", gflops, ms / batch):
+            return {}
         return {"multiscale4_fps": round(fps, 3),
                 "multiscale4_gflops_per_frame": round(gflops, 1)}
     except Exception as exc:          # never sink the headline number
         _progress(f"multi-scale bench failed: {exc!r}")
         return {}
+
+
+def _roofline_ok(label: str, gflops_per_frame: float,
+                 ms_per_frame: float) -> bool:
+    """Refuse to publish a physically-impossible number: if the implied
+    compute rate exceeds the chip's bf16 peak, the measured program cannot
+    be executing the claimed work (round 4 shipped exactly one such row:
+    multiscale4 at 292 implied TFLOP/s on a 197-peak chip).  Returns False
+    — and the caller withholds the row — rather than emitting garbage."""
+    import jax
+    peak = _bf16_peak_tflops(jax.devices()[0].device_kind)
+    if not peak or not ms_per_frame:
+        return True        # unknown chip (e.g. CPU smoke run): no basis
+    implied = gflops_per_frame / ms_per_frame / 1e3
+    if implied > peak * 1.02:
+        print(f"ROOFLINE GUARD: {label} implies {implied:.0f} TFLOP/s "
+              f"> chip peak {peak:.0f} — measurement invalid, row "
+              "WITHHELD", file=sys.stderr)
+        return False
+    print(f"roofline: {label} implies {implied:.0f} TFLOP/s "
+          f"({implied / peak:.0%} of {peak:.0f} peak) [ok]", file=sys.stderr)
+    return True
 
 
 def _bench_topdown_accuracy() -> dict:

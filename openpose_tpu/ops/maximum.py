@@ -32,23 +32,34 @@ def channel_argmax(heatmaps: jax.Array) -> jax.Array:
 
 
 _WIN = 9            # map-px window half-width 4 around the coarse peak
-_UP_LO, _UP_N = -12, 32     # local upsampled px j in [8*c-12, 8*c+19]
+
+
+def _win_params(upsample: int):
+    """(up_lo, up_n): local upsampled px j in [up*c + up_lo,
+    up*c + up_lo + up_n), i.e. +-1.5..2.5 map px around the coarse peak —
+    wide enough that the interpolated argmax of a unimodal peak cannot
+    escape it, narrow enough that every cubic tap stays inside _WIN."""
+    return -(3 * upsample) // 2, 4 * upsample
 
 
 @functools.lru_cache(maxsize=None)
 def _window_cubic_matrix(upsample: int) -> np.ndarray:
-    """[_UP_N, _WIN] Catmull-Rom weights: local upsampled px u (global
-    j = upsample*c + _UP_LO + u) sampled at map coord (j+0.5)/up - 0.5,
+    """[up_n, _WIN] Catmull-Rom weights: local upsampled px u (global
+    j = upsample*c + up_lo + u) sampled at map coord (j+0.5)/up - 0.5,
     expressed relative to window row 0 (= map row c - 4).  All taps fall
     strictly inside the window, so the matrix is position-independent."""
     from openpose_tpu.ops.resize import _cubic_weights
-    u = np.arange(_UP_N, dtype=np.float64)
-    rel = (u + _UP_LO + 0.5) / upsample - 0.5 + (_WIN - 1) / 2
+    up_lo, up_n = _win_params(upsample)
+    u = np.arange(up_n, dtype=np.float64)
+    rel = (u + up_lo + 0.5) / upsample - 0.5 + (_WIN - 1) / 2
     t1 = np.floor(rel).astype(np.int64)
+    if (t1 - 1).min() < 0 or (t1 + 2).max() >= _WIN:
+        raise ValueError(f"cubic taps escape the {_WIN}-px window for "
+                         f"upsample={upsample}")
     w4 = _cubic_weights(rel - t1, a=-0.5)
-    mat = np.zeros((_UP_N, _WIN), dtype=np.float64)
+    mat = np.zeros((up_n, _WIN), dtype=np.float64)
     for i in range(4):
-        np.add.at(mat, (np.arange(_UP_N), t1 - 1 + i), w4[:, i])
+        np.add.at(mat, (np.arange(up_n), t1 - 1 + i), w4[:, i])
     return mat.astype(np.float32)
 
 
@@ -79,15 +90,16 @@ def channel_argmax_refined(maps: jax.Array, upsample: int = 8) -> jax.Array:
     rows = jnp.take_along_axis(chw, ys[..., None], axis=2)   # [n, c, 9, w]
     patch = jnp.take_along_axis(rows, xs[..., None, :], axis=3)
 
+    up_lo, up_n = _win_params(upsample)
     wmat = jnp.asarray(_window_cubic_matrix(upsample))
     up = jnp.einsum("ui,ncij,vj->ncuv", wmat, patch.astype(jnp.float32),
                     wmat, precision=jax.lax.Precision.HIGHEST)
-    uflat = up.reshape(n, c, _UP_N * _UP_N)
+    uflat = up.reshape(n, c, up_n * up_n)
     uidx = jnp.argmax(uflat, axis=-1)
     score = jnp.take_along_axis(uflat, uidx[..., None], axis=-1)[..., 0]
-    uy = (uidx // _UP_N).astype(jnp.int32)
-    ux = (uidx % _UP_N).astype(jnp.int32)
-    x = jnp.clip(cx * upsample + _UP_LO + ux, 0, w * upsample - 1)
-    y = jnp.clip(cy * upsample + _UP_LO + uy, 0, h * upsample - 1)
+    uy = (uidx // up_n).astype(jnp.int32)
+    ux = (uidx % up_n).astype(jnp.int32)
+    x = jnp.clip(cx * upsample + up_lo + ux, 0, w * upsample - 1)
+    y = jnp.clip(cy * upsample + up_lo + uy, 0, h * upsample - 1)
     return jnp.stack([x.astype(jnp.float32), y.astype(jnp.float32),
                       score], axis=-1)

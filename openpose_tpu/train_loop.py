@@ -242,7 +242,9 @@ def train(config: TrainConfig, data: Iterator, verbose: bool = True,
         for step in range(config.steps):
             images, keypoints = next(data)
             if images.dtype != np.uint8:
-                images = np.clip(images, 0, 255).astype(np.uint8)
+                # rint, not truncation: renderers emit fractional pixels
+                # and plain astype would add a ~-0.5 intensity bias
+                images = np.clip(np.rint(images), 0, 255).astype(np.uint8)
             state, loss = step_fn(state, jnp.asarray(images),
                                   jnp.asarray(keypoints))
             if step == 0:
@@ -258,6 +260,11 @@ def train(config: TrainConfig, data: Iterator, verbose: bool = True,
                 if verbose:
                     print(f"saved {path}")
         jax.block_until_ready(state.step)
+    if hasattr(data, "close"):
+        # stop prefetch render threads: they are daemons, but left running
+        # they burn CPU through any subsequent phase (e.g. train_to_ap's
+        # eval) until interpreter exit
+        data.close()
     if stats_out is not None and config.steps > 1 and t_steady is not None:
         from openpose_tpu.utils import benchmark as bench_lib
         dt = time.time() - t_steady

@@ -36,13 +36,30 @@ def bf16_peak_tflops(device_kind: str | None = None) -> float:
     return 0.0
 
 
+def fold(carry: jax.Array, *outputs: jax.Array) -> jax.Array:
+    """Fold a FULL reduction of every output into the chain carry.
+
+    A single consumed output element is NOT enough to keep a chained stage
+    alive: XLA can slice-propagate the one element backwards and
+    dead-code-eliminate most of the stage (observed twice: round-3 post
+    chains, and round-4's physically-impossible 4-scale number — 292
+    implied TFLOP/s on a 197-peak chip).  ``jnp.sum`` over each output
+    costs microseconds at these sizes and closes that hole for good: every
+    element of every output feeds the carry, so nothing upstream is dead.
+    """
+    for out in outputs:
+        carry = carry + jnp.sum(out, dtype=jnp.float32) * 1e-12
+    return carry
+
+
 def chain_ms(step_fn: Callable[[jax.Array], jax.Array],
              n_lo: int = 2, n_hi: int = 22, reps: int = 3) -> float:
     """Milliseconds per application of step_fn (carry f32 scalar -> carry).
 
     step_fn must thread its scalar argument into the workload inputs (e.g.
-    ``inputs + carry * 1e-12``) and fold an element of every output back into
-    the returned carry, otherwise XLA hoists or drops the body.
+    ``inputs + carry * 1e-12``) and fold a FULL reduction of every output
+    back into the returned carry (use ``fold``) — a single consumed element
+    lets XLA slice-propagate and drop most of the body (see ``fold``).
     """
     @jax.jit
     def run(n):
