@@ -175,14 +175,17 @@ def main() -> None:
     wb = _bench_whole_body(net_ms, post_ms, gflops_frame, batch, peak)
     ms4 = _bench_multiscale(model)
     e2e_fps = _bench_end_to_end()
-    host_tail_fps = _bench_host_tail()
+    tail = _bench_host_tail()
+    host_tail_fps = tail.get("host_tail_fps", 0.0)
     ap = _bench_synthetic_ap(model)
     td_acc = _bench_topdown_accuracy()
 
     # Co-located e2e estimate: in the deep-pipelined runner the host tail
     # (decode + assembly + JSON) overlaps device compute, so a host NOT
     # behind a ~40 MB/s tunnel sustains min(device, host_tail) — the
-    # overlap model for the measured-tunnel e2e number below.
+    # overlap model for the measured-tunnel e2e number below.  On THIS
+    # harness host_tail is 2-core-decode-bound (see tail_only_fps for the
+    # post-device tail capacity, which exceeds the device rate).
     colocated = round(min(fps, host_tail_fps), 2) if host_tail_fps else 0.0
 
     baseline = 22.0
@@ -195,7 +198,7 @@ def main() -> None:
         "crowd32_fps": round(1000.0 / crowd_frame_ms, 2),
         "e2e_disk_to_keypoints_fps": e2e_fps,
         "e2e_colocated_est_fps": colocated,
-        "host_tail_fps": host_tail_fps,
+        **tail,
         "synthetic_ap": ap.get("AP"),
         "synthetic_ap50": ap.get("AP50"),
         "synthetic_ar": ap.get("AR"),
@@ -348,6 +351,36 @@ def _bench_whole_body(net_ms: float, post_ms: float,
         hand_ms = chain_ms(step_hand, n_lo=2, n_hi=8)
         _progress(f"whole-body: hand {hand_ms:.1f} ms/iter")
 
+        # Typical content: 2 people/frame -> the crop-tier ladder drops to
+        # the tier-2 face / tier-4 hand programs (inference.ShardedTopDown.
+        # crop_tiers); the all-active numbers above are the worst case.
+        typical_people = 2
+        face_typ = np.tile(np.asarray(ShardedTopDown.INACTIVE, np.float32),
+                           (batch, people, 1))
+        face_typ[:, :typical_people] = np.asarray(face_tr)[:, :typical_people]
+        hand_typ = np.tile(np.asarray(ShardedTopDown.INACTIVE, np.float32),
+                           (batch, 2 * people, 1))
+        hand_typ[:, :2 * typical_people] = \
+            np.asarray(hand_tr)[:, :2 * typical_people]
+        ft = face_td.tier_for(face_typ)
+        ht = hand_td.tier_for(hand_typ)
+        fface_t = face_td._tier_fn((368, 656), ft)
+        fhand_t = hand_td._tier_fn((368, 656), ht)
+        face_typ_dev = jnp.asarray(np.ascontiguousarray(face_typ[:, :ft]))
+        hand_typ_dev = jnp.asarray(np.ascontiguousarray(hand_typ[:, :ht]))
+
+        def step_face_typ(c):
+            pk = fface_t(face_td.params, frames + c * 1e-12, face_typ_dev)
+            return fold(c, pk)
+
+        def step_hand_typ(c):
+            pk = fhand_t(hand_td.params, frames + c * 1e-12, hand_typ_dev)
+            return fold(c, pk)
+
+        _progress(f"whole-body: timing typical tiers (face {ft}, hand {ht})")
+        face_t_ms = chain_ms(step_face_typ, n_lo=2, n_hi=8)
+        hand_t_ms = chain_ms(step_hand_typ, n_lo=2, n_hi=8)
+
         # host geometry between programs (overlaps device in the pipeline)
         import time as _t
         from openpose_tpu.face.detector import detect_faces
@@ -375,6 +408,9 @@ def _bench_whole_body(net_ms: float, post_ms: float,
         fps = 1000.0 / frame_ms
         tflops = total_gflops / frame_ms
         mfu = tflops / peak_tflops if peak_tflops else 0.0
+        typ_frame_ms = (net_ms + post_ms + face_t_ms + hand_t_ms) / batch
+        typ_fps = 1000.0 / typ_frame_ms
+        typ_gflops = (body_gflops + ft * face_gflops + ht * hand_gflops)
         print(f"whole-body (4 people, all crops active): body "
               f"{(net_ms + post_ms) / batch:.2f} + face "
               f"{face_ms / batch:.2f} + hands {hand_ms / batch:.2f} "
@@ -382,7 +418,13 @@ def _bench_whole_body(net_ms: float, post_ms: float,
               f"{total_gflops:.0f} GFLOP/frame, MFU {mfu:.1%} "
               f"(host geometry {geom_ms:.2f} ms/frame, overlapped)",
               file=sys.stderr)
-        if not _roofline_ok("whole_body", total_gflops, frame_ms):
+        print(f"whole-body typical ({typical_people} people, tier {ft} "
+              f"face / {ht} hand): face {face_t_ms / batch:.2f} + hands "
+              f"{hand_t_ms / batch:.2f} ms/frame -> {typ_fps:.1f} frames/s",
+              file=sys.stderr)
+        if not _roofline_ok("whole_body", total_gflops, frame_ms) \
+                or not _roofline_ok("whole_body_typical", typ_gflops,
+                                    typ_frame_ms):
             return {}
         return {
             "whole_body_fps": round(fps, 2),
@@ -391,6 +433,9 @@ def _bench_whole_body(net_ms: float, post_ms: float,
             "whole_body_gflops_per_frame": round(total_gflops, 1),
             "whole_body_mfu": round(mfu, 3),
             "whole_body_host_geom_ms": round(geom_ms, 3),
+            "whole_body_typical_fps": round(typ_fps, 2),
+            "whole_body_typical_face_ms": round(face_t_ms / batch, 3),
+            "whole_body_typical_hand_ms": round(hand_t_ms / batch, 3),
         }
     except Exception as exc:          # never sink the headline number
         _progress(f"whole-body bench failed: {exc!r}")
@@ -552,11 +597,30 @@ def _bench_host_tail() -> float:
         extractor = PoseExtractor(model)
 
         out_dir = tempfile.mkdtemp(prefix="host_tail_")
+
+        # Tail-only capacity (assembly + JSON pooled over 2 threads, no
+        # decode): proves the POST-DEVICE host work sustains well above the
+        # device rate — the residual host-tail gap below is pure video
+        # decode CPU (~5 ms CPU/frame for 1280x720 H.264; this harness has
+        # 2 cores, so decode alone caps disk->keypoints at ~390 f/s ideal).
+        def tail_one_idx(idx):
+            kp, sc = extractor.assemble(peaks, scores, 1.0)
+            json_io.save_people_json(
+                f"{out_dir}/t{idx:012d}_keypoints.json", pose_keypoints=kp)
+        pool = concurrent.futures.ThreadPoolExecutor(2)
+        list(pool.map(tail_one_idx, range(32)))          # warm
+        t0 = time.perf_counter()
+        list(pool.map(tail_one_idx, range(400)))
+        tail_only = 400 / (time.perf_counter() - t0)
+        pool.shutdown(wait=True)
+        print(f"host tail-only (assembly + JSON, 2 threads): "
+              f"{tail_only:.1f} frames/s", file=sys.stderr)
+
         best = 0.0
-        for _ in range(2):
-            pump = NativeVideoPump(str(video), 656, 368, threads=4,
+        for threads in (2, 3, 2):
+            pump = NativeVideoPump(str(video), 656, 368, threads=threads,
                                    capacity=64)
-            pool = concurrent.futures.ThreadPoolExecutor(4)
+            pool = concurrent.futures.ThreadPoolExecutor(threads)
             futures = []
 
             def tail_one(idx):
@@ -568,9 +632,14 @@ def _bench_host_tail() -> float:
 
             t0 = time.perf_counter()
             n = 0
-            for _idx, _frame, _net, _scale in pump:
-                futures.append(pool.submit(tail_one, n))
-                n += 1
+            while True:        # batched pop: one GIL-releasing call / 8
+                item = pump.next_batch(8)
+                if item is None:
+                    break
+                k, _, _ = item
+                for _ in range(k):
+                    futures.append(pool.submit(tail_one, n))
+                    n += 1
             for f in futures:
                 f.result()
             dt = time.perf_counter() - t0
@@ -579,10 +648,11 @@ def _bench_host_tail() -> float:
             best = max(best, n / dt)
         print(f"host tail (decode + assembly + JSON, device stubbed): "
               f"{best:.1f} frames/s", file=sys.stderr)
-        return round(best, 2)
+        return {"host_tail_fps": round(best, 2),
+                "tail_only_fps": round(tail_only, 2)}
     except Exception as exc:          # never sink the headline number
         _progress(f"host tail bench failed: {exc!r}")
-        return 0.0
+        return {}
 
 
 def _bench_synthetic_ap(model) -> dict:

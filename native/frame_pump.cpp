@@ -234,6 +234,9 @@ class VideoPump {
     int srcH() const { return src_h_; }
 
     // Returns seq >= 0 with net input + original frame; -1 timeout; -3 EOF.
+    // frame_out == nullptr skips the original-frame copy (~2.7 MB per HD
+    // frame) for consumers that only need the net input — the keypoint-only
+    // pipeline (no rendering) saves a memcpy per frame on the hot path.
     long next(unsigned char* net_out, unsigned char* frame_out,
               double* scale_out, int timeout_ms) {
         std::unique_lock<std::mutex> lock(mutex_);
@@ -251,9 +254,47 @@ class VideoPump {
         lock.unlock();
         cv_space_.notify_one();
         std::memcpy(net_out, it.net.data(), it.net.size());
-        std::memcpy(frame_out, it.frame.data, it.frame.total() * 3);
+        if (frame_out)
+            std::memcpy(frame_out, it.frame.data, it.frame.total() * 3);
         if (scale_out) *scale_out = it.scale;
         return seq;
+    }
+
+    // Pops up to max_n in-order results into a contiguous [n, net_h,
+    // net_w, 3] buffer — ONE ctypes call (GIL released) per device batch
+    // instead of one per frame; the per-frame condvar/np.empty/ctypes
+    // churn was ~15% of the pump-bound pipeline on a 2-core host.
+    // Returns the count popped (may be < max_n on timeout), or -3 at EOF
+    // with nothing left.
+    long nextBatch(unsigned char* net_out, double* scales_out, long max_n,
+                   int timeout_ms) {
+        const size_t frame_bytes = (size_t)net_h_ * net_w_ * 3;
+        long count = 0;
+        std::unique_lock<std::mutex> lock(mutex_);
+        while (count < max_n) {
+            cv_results_.wait_for(
+                lock, std::chrono::milliseconds(timeout_ms), [this] {
+                    return stopping_ || results_.count(next_pop_) > 0
+                        || (eof_ && in_flight_ == 0);
+                });
+            if (results_.count(next_pop_) == 0) {
+                if (eof_ && in_flight_ == 0)
+                    return count ? count : -3;
+                return count;          // timeout with a partial batch
+            }
+            Item it = std::move(results_[next_pop_]);
+            results_.erase(next_pop_);
+            next_pop_++;
+            in_flight_--;
+            lock.unlock();
+            cv_space_.notify_one();
+            std::memcpy(net_out + count * frame_bytes, it.net.data(),
+                        it.net.size());
+            if (scales_out) scales_out[count] = it.scale;
+            count++;
+            lock.lock();
+        }
+        return count;
     }
 
   private:
@@ -323,12 +364,13 @@ class VideoPump {
             cv::Mat m = cv::Mat::eye(2, 3, CV_64F);
             m.at<double>(0, 0) = it.scale;
             m.at<double>(1, 1) = it.scale;
-            cv::Mat resized;
+            // warp straight into the result buffer (no intermediate Mat +
+            // 724 KB assign per frame)
+            it.net.resize((size_t)net_h_ * net_w_ * 3);
+            cv::Mat resized(net_h_, net_w_, CV_8UC3, it.net.data());
             cv::warpAffine(it.frame, resized, m, cv::Size(net_w_, net_h_),
                            (it.scale > 1. ? cv::INTER_CUBIC : cv::INTER_AREA),
                            cv::BORDER_CONSTANT, cv::Scalar(0, 0, 0));
-            it.net.assign(resized.data,
-                          resized.data + (size_t)net_h_ * net_w_ * 3);
             {
                 std::lock_guard<std::mutex> lock(mutex_);
                 results_[job.first] = std::move(it);
@@ -385,6 +427,12 @@ long vp_next(void* handle, unsigned char* net_out, unsigned char* frame_out,
              double* scale_out, int timeout_ms) {
     return static_cast<VideoPump*>(handle)->next(net_out, frame_out,
                                                  scale_out, timeout_ms);
+}
+
+long vp_next_batch(void* handle, unsigned char* net_out, double* scales_out,
+                   long max_n, int timeout_ms) {
+    return static_cast<VideoPump*>(handle)->nextBatch(net_out, scales_out,
+                                                      max_n, timeout_ms);
 }
 
 double vp_fps(void* handle) {

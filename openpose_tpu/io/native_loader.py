@@ -52,6 +52,10 @@ def _load():
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte),
             ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_double),
             ctypes.c_int]
+        lib.vp_next_batch.restype = ctypes.c_long
+        lib.vp_next_batch.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_int]
         lib.vp_fps.restype = ctypes.c_double
         lib.vp_fps.argtypes = [ctypes.c_void_p]
         lib.vp_frame_count.restype = ctypes.c_long
@@ -138,17 +142,26 @@ class NativeVideoPump:
         self.fps = float(self._lib.vp_fps(self._handle))
         self.frame_count = int(self._lib.vp_frame_count(self._handle))
 
-    def next(self, timeout_ms: int = 10000
-             ) -> Optional[Tuple[int, np.ndarray, np.ndarray, float]]:
-        """-> (seq, frame BGR uint8, net_input uint8, scale); None at EOF."""
+    def next(self, timeout_ms: int = 10000, want_frame: bool = True
+             ) -> Optional[Tuple[int, Optional[np.ndarray], np.ndarray,
+                                 float]]:
+        """-> (seq, frame BGR uint8, net_input uint8, scale); None at EOF.
+
+        want_frame=False skips the original-frame copy (~2.7 MB per HD
+        frame) and yields frame=None — the keypoint-only path (no
+        rendering / image output) never touches the full-size pixels."""
         net = np.empty((self.net_h, self.net_w, 3), np.uint8)
-        frame = np.empty((self.frame_size[1], self.frame_size[0], 3),
-                         np.uint8)
+        if want_frame:
+            frame = np.empty((self.frame_size[1], self.frame_size[0], 3),
+                             np.uint8)
+            frame_ptr = frame.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+        else:
+            frame = None
+            frame_ptr = None
         scale = ctypes.c_double()
         seq = self._lib.vp_next(
             self._handle, net.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
-            frame.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
-            ctypes.byref(scale), timeout_ms)
+            frame_ptr, ctypes.byref(scale), timeout_ms)
         if seq == -3:
             return None
         if seq < 0:
@@ -161,6 +174,36 @@ class NativeVideoPump:
             if item is None:
                 return
             yield item
+
+    def iter_net_only(self):
+        """Iterate (seq, None, net_input, scale) without frame copies."""
+        while True:
+            item = self.next(want_frame=False)
+            if item is None:
+                return
+            yield item
+
+    def next_batch(self, n: int, timeout_ms: int = 10000,
+                   out: Optional[np.ndarray] = None
+                   ) -> Optional[Tuple[int, np.ndarray, np.ndarray]]:
+        """Pop up to n in-order net inputs into ONE contiguous buffer.
+
+        -> (count, net [n, net_h, net_w, 3] uint8, scales [n] f64) with
+        count <= n (short on timeout), or None at EOF with nothing left.
+        One GIL-releasing C call per device batch replaces n per-frame
+        calls + an np.stack copy; `out` (same shape/dtype) is filled in
+        place when given, so the device upload buffer can be reused."""
+        if out is None:
+            out = np.empty((n, self.net_h, self.net_w, 3), np.uint8)
+        scales = np.empty((n,), np.float64)
+        count = self._lib.vp_next_batch(
+            self._handle,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            scales.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            n, timeout_ms)
+        if count == -3:
+            return None
+        return int(count), out, scales
 
     def close(self) -> None:
         if self._handle:

@@ -32,22 +32,38 @@ def paf_scores_to_connections(
         pair_scores: np.ndarray, peaks: np.ndarray,
         pairs: np.ndarray) -> List[Tuple[float, float, int, int, int]]:
     """-> list of (total_score, paf_score, pair_index, index_a, index_b),
-    sorted descending; index_a/b are 1-based peak slots as in the reference."""
-    counts = peaks[:, 0, 0]
-    out: List[Tuple[float, float, int, int, int]] = []
-    for pair_index in range(pairs.shape[0]):
-        part_a, part_b = int(pairs[pair_index, 0]), int(pairs[pair_index, 1])
-        na = int(round(float(counts[part_a])))
-        nb = int(round(float(counts[part_b])))
-        block = pair_scores[pair_index, :na, :nb]
-        ia, ib = np.nonzero(block > 1e-6)
-        for i, j in zip(ia.tolist(), ib.tolist()):
-            score = float(block[i, j])
-            total = score + 0.1 * float(peaks[part_a, i + 1, 2]) \
-                          + 0.1 * float(peaks[part_b, j + 1, 2])
-            out.append((total, score, pair_index, i + 1, j + 1))
-    out.sort(key=lambda t: t[0], reverse=True)
-    return out
+    sorted descending; index_a/b are 1-based peak slots as in the reference.
+
+    Fully vectorized (one mask + nonzero over [P, K, K] instead of a Python
+    loop per pair): candidates appear in (pair, a, b) row-major order like
+    the reference's append loop, and the stable argsort on -total preserves
+    that order among ties, so the greedy consumer sees the exact reference
+    sequence (pafPtrIntoVector's std::sort is on total_score only)."""
+    k = pair_scores.shape[1]
+    counts = np.minimum(np.rint(peaks[:, 0, 0]).astype(np.int64), k)
+    # slice to the true max count first: the mask work is O(P * kmax^2),
+    # not O(P * K^2) at the static 127-slot budget (assembly only ever
+    # reads the [:count_a, :count_b] corner)
+    kmax = int(counts[np.asarray(pairs).reshape(-1)].max()) \
+        if counts.size else 0
+    if kmax <= 0:
+        return []
+    pair_scores = pair_scores[:, :kmax, :kmax]
+    slot = np.arange(kmax)
+    na = counts[pairs[:, 0]][:, None, None]          # [P,1,1]
+    nb = counts[pairs[:, 1]][:, None, None]
+    valid = (pair_scores > 1e-6) \
+        & (slot[None, :, None] < na) & (slot[None, None, :] < nb)
+    pi, ia, ib = np.nonzero(valid)
+    if pi.size == 0:
+        return []
+    score = pair_scores[pi, ia, ib].astype(np.float64)
+    total = score + 0.1 * peaks[pairs[pi, 0], ia + 1, 2] \
+                  + 0.1 * peaks[pairs[pi, 1], ib + 1, 2]
+    order = np.argsort(-total, kind="stable")
+    return list(zip(total[order].tolist(), score[order].tolist(),
+                    pi[order].tolist(), (ia[order] + 1).tolist(),
+                    (ib[order] + 1).tolist()))
 
 
 def connections_to_people(
@@ -61,13 +77,19 @@ def connections_to_people(
     encoding the reference uses so downstream logic matches line for line.
     """
     max_peaks = peaks.shape[1] - 1
-    peaks_flat = peaks.reshape(-1)
+    # flat PYTHON list: the loop below does one scalar read per connection,
+    # and numpy scalar indexing (boxing a np.float32 each time) measured
+    # ~3x slower than list access on the few-hundred-connection frames the
+    # host tail sees
+    peaks_flat = np.asarray(peaks, np.float64).reshape(-1).tolist()
+    pairs_list = [(int(a), int(b)) for a, b in np.asarray(pairs)]
     people: List[Tuple[List[int], float]] = []
-    person_assigned = np.full(num_parts * max_peaks, -1, np.int64)
+    person_slots: List[List[int]] = []    # slots owned by each person row
+    person_assigned = [-1] * (num_parts * max_peaks)
     to_remove: set = set()
 
     for _total, paf_score, pair_index, index_a, index_b in connections:
-        part_a, part_b = int(pairs[pair_index, 0]), int(pairs[pair_index, 1])
+        part_a, part_b = pairs_list[pair_index]
         idx_score_a = (part_a * (max_peaks + 1) + index_a) * 3 + 2
         idx_score_b = (part_b * (max_peaks + 1) + index_b) * 3 + 2
         a_slot = part_a * max_peaks + index_a - 1
@@ -80,9 +102,10 @@ def connections_to_people(
             row[part_a] = idx_score_a
             row[part_b] = idx_score_b
             row[-1] = 2
-            score = float(peaks_flat[idx_score_a] + peaks_flat[idx_score_b]
-                          + paf_score)
+            score = peaks_flat[idx_score_a] + peaks_flat[idx_score_b] \
+                + paf_score
             person_assigned[a_slot] = person_assigned[b_slot] = len(people)
+            person_slots.append([a_slot, b_slot])
             people.append((row, score))
         elif (a_assigned >= 0) != (b_assigned >= 0):
             assigned1 = a_assigned if a_assigned >= 0 else b_assigned
@@ -93,9 +116,10 @@ def connections_to_people(
             if row[part2] == 0:
                 row[part2] = idx_score2
                 row[-1] += 1
-                people[assigned1] = (row, score + float(peaks_flat[idx_score2])
+                people[assigned1] = (row, score + peaks_flat[idx_score2]
                                      + paf_score)
                 person_assigned[slot2] = assigned1
+                person_slots[assigned1].append(slot2)
         elif a_assigned == b_assigned:  # circular/redundant PAF
             row, score = people[a_assigned]
             people[a_assigned] = (row, score + paf_score)
@@ -113,7 +137,10 @@ def connections_to_people(
                 row1[-1] += row2[-1]
                 people[assigned1] = (row1, score1 + score2 + paf_score)
                 to_remove.add(assigned2)
-                person_assigned[person_assigned == assigned2] = assigned1
+                for s in person_slots[assigned2]:
+                    person_assigned[s] = assigned1
+                person_slots[assigned1] += person_slots[assigned2]
+                person_slots[assigned2] = []
 
     keep = [i for i in range(len(people)) if i not in to_remove]
     return [people[i] for i in keep]

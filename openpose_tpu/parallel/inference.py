@@ -245,12 +245,22 @@ class ShardedTopDown:
 
     def __init__(self, model: Model, mesh: Optional[Mesh] = None,
                  net_size: int = 368, people_cap: int = 8,
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16,
+                 crop_tiers: Tuple[int, ...] = (2, 4)):
+        """crop_tiers: ladder of smaller crop-count programs compiled
+        alongside the full people_cap one.  A frame-batch whose highest
+        ACTIVE slot fits a tier runs that tier's program and pays only
+        tier * CNN-forward instead of people_cap * — the top-down analogue
+        of the NMS/PAF fast_peaks ladder (ops/nms.py).  The reference pays
+        O(#people) per frame (faceExtractorCaffe.cpp:230-310 loops people);
+        the untier-ed batched program paid O(cap) even for 1 person."""
         self.model = model
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
         self.net_size = net_size
         self.people_cap = people_cap
         self.compute_dtype = compute_dtype
+        self.crop_tiers = tuple(
+            t for t in sorted(crop_tiers) if 0 < t < people_cap)
         self.params = jax.device_put(
             model.params, mesh_lib.param_sharding(self.mesh, model.params))
         self._fns = {}
@@ -276,8 +286,13 @@ class ShardedTopDown:
         return peaks.reshape((b, p) + peaks.shape[1:])
 
     def _fn(self, frame_hw: Tuple[int, int]):
-        if frame_hw in self._fns:
-            return self._fns[frame_hw]
+        """The full-people_cap program (crop count = transforms.shape[1] at
+        trace time; tier programs reuse the same builder via _tier_fn)."""
+        return self._tier_fn(frame_hw, self.people_cap)
+
+    def _tier_fn(self, frame_hw: Tuple[int, int], cap: int):
+        if (frame_hw, cap) in self._fns:
+            return self._fns[(frame_hw, cap)]
         from openpose_tpu.models import graph as _graph
         from openpose_tpu.ops import maximum, warp
         net_size = self.net_size
@@ -305,7 +320,7 @@ class ShardedTopDown:
         batch_sh = mesh_lib.batch_sharding(self.mesh)
         fn = jax.jit(run, in_shardings=(None, batch_sh, batch_sh),
                      out_shardings=batch_sh)
-        self._fns[frame_hw] = fn
+        self._fns[(frame_hw, cap)] = fn
         return fn
 
     def _bypass_fn(self, map_hw: Tuple[int, int]):
@@ -326,11 +341,28 @@ class ShardedTopDown:
         self._bypass_fns[map_hw] = fn
         return fn
 
+    def tier_for(self, transforms: np.ndarray) -> int:
+        """Smallest crop-tier covering every ACTIVE slot of this batch.
+
+        Active slots are filled leading-first by the runtime
+        (runtime/whole_body._run_topdown), so the highest active slot
+        index bounds the crops that matter; trailing INACTIVE slots are
+        exact zeros either way and can be dropped before the CNN."""
+        active = transforms[..., 2] > -1e5            # INACTIVE tx = -1e6
+        if not active.any():
+            return self.crop_tiers[0] if self.crop_tiers else self.people_cap
+        k_needed = int(np.max(np.where(active)[-1])) + 1
+        for t in self.crop_tiers:
+            if k_needed <= t:
+                return t
+        return self.people_cap
+
     def __call__(self, frames, transforms,
                  net_output=None) -> jax.Array:
         """frames [B, H, W, 3]; transforms [B, people_cap, 4] affine rows
         (warp.rect_to_transform).  Returns [B, people_cap, C, 3] peaks in
-        CROP coordinates (map back with warp.map_back).
+        CROP coordinates (map back with warp.map_back); slots beyond the
+        selected crop tier are zero (they were INACTIVE by construction).
 
         net_output: optional [B, people_cap, s/8, s/8, C] tensor replacing
         the crop+CNN stages (decode-only injection)."""
@@ -340,8 +372,17 @@ class ShardedTopDown:
             fn = self._bypass_fn(tuple(net_output.shape[2:4]))
             return fn(jax.device_put(net_output, batch_sh))
         frames = np.asarray(frames)
-        fn = self._fn(tuple(frames.shape[1:3]))
-        return fn(self.params,
-                  jax.device_put(frames, batch_sh),
-                  jax.device_put(np.asarray(transforms, np.float32),
-                                 batch_sh))
+        transforms = np.asarray(transforms, np.float32)
+        tier = self.tier_for(transforms)
+        fn = self._tier_fn(tuple(frames.shape[1:3]), tier)
+        peaks = fn(self.params,
+                   jax.device_put(frames, batch_sh),
+                   jax.device_put(
+                       np.ascontiguousarray(transforms[:, :tier]), batch_sh))
+        if tier == self.people_cap:
+            return peaks
+        out = np.asarray(peaks)
+        pad = np.zeros(
+            (out.shape[0], self.people_cap - tier) + out.shape[2:],
+            out.dtype)
+        return np.concatenate([out, pad], axis=1)

@@ -195,7 +195,12 @@ class VideoRunner:
                   on_result: Optional[Callable[[FrameResult], None]] = None,
                   max_frames: int = -1) -> List[FrameResult]:
         """Whole-video throughput path: native sequential decode + parallel
-        preprocessing (NativeVideoPump) feeding batched device inference."""
+        preprocessing (NativeVideoPump) feeding batched device inference.
+
+        Frames arrive via vp_next_batch: the C++ pump writes each device
+        batch into ONE contiguous uint8 buffer (no per-frame ctypes calls,
+        no original-frame copies, no np.stack) — the Python thread only
+        dispatches device batches and assembly futures."""
         from openpose_tpu.io.native_loader import NativeVideoPump, available
         if not available():
             raise RuntimeError("native frame pump not built (make -C native)")
@@ -211,7 +216,7 @@ class VideoRunner:
         futures = []
 
         def flush(batch, scales, start_idx, real):
-            out = self.inference(np.stack(batch))
+            out = self.inference(batch)
             handle = self.inference.fetch_begin(*out)
             pending.append((start_idx, handle, list(scales), real))
 
@@ -225,27 +230,34 @@ class VideoRunner:
                     s_n2o, src_wh))
 
         try:
-            batch, scales = [], []
             start_idx = 0
-            n = 0
-            for _, _frame, net_in, scale in pump:
-                if 0 <= max_frames <= n:
+            eof = False
+            while not eof:
+                want = self.batch_size
+                if max_frames >= 0:
+                    want = min(want, max_frames - start_idx)
+                    if want <= 0:
+                        break
+                buf = np.empty((self.batch_size, net_h, net_w, 3), np.uint8)
+                scl = np.empty((self.batch_size,), np.float64)
+                got = 0
+                while got < want:
+                    item = pump.next_batch(want - got, out=buf[got:want])
+                    if item is None:
+                        eof = True
+                        break
+                    k, _, part_scales = item
+                    scl[got:got + k] = part_scales[:k]
+                    got += k
+                if got == 0:
                     break
-                n += 1
-                batch.append(net_in)
-                scales.append(scale)
-                if len(batch) == self.batch_size:
-                    flush(batch, scales, start_idx, len(batch))
-                    start_idx += len(batch)
-                    batch, scales = [], []
-                    if len(pending) >= self.max_in_flight:
-                        resolve()
-            if batch:
-                real = len(batch)
-                pad = self.batch_size - real
-                batch += [batch[-1]] * pad
-                scales += [scales[-1]] * pad
-                flush(batch, scales, start_idx, real)
+                if got < self.batch_size:       # pad the tail batch
+                    buf[got:] = buf[got - 1]
+                    scl[got:] = scl[got - 1]
+                flush(buf, scl, start_idx, got)
+                start_idx += got
+                if len(pending) >= self.max_in_flight:
+                    resolve()
             while pending:
                 resolve()
             for fut in futures:

@@ -103,6 +103,39 @@ class TestShardedTopDown:
             np.testing.assert_allclose(got_xy, want[0, :, :2], atol=1e-2)
             np.testing.assert_allclose(got[:, 2], want[0, :, 2], atol=1e-3)
 
+    def test_crop_tier_ladder_exact(self):
+        """A batch whose active slots fit a small tier runs the tier
+        program and reproduces the full-cap program's output exactly
+        (active slots identical, dropped INACTIVE slots exact zeros)."""
+        mesh = _mesh(4)
+        face_model = zoo.load_face_model()
+        rng = np.random.RandomState(4)
+        frames = rng.randint(0, 255, (4, 96, 128, 3)).astype(np.uint8)
+        from openpose_tpu.ops import warp
+
+        tiered = ShardedTopDown(face_model, mesh, net_size=64, people_cap=4,
+                                compute_dtype=jnp.float32, crop_tiers=(1, 2))
+        full = ShardedTopDown(face_model, mesh, net_size=64, people_cap=4,
+                              compute_dtype=jnp.float32, crop_tiers=())
+        transforms = np.tile(np.asarray(tiered.INACTIVE, np.float32),
+                             (4, 4, 1))
+        for i in range(4):
+            transforms[i, 0] = warp.rect_to_transform(
+                (8.0 + i, 10.0, 40.0, 40.0), 64, mirror=False)
+        assert tiered.tier_for(transforms) == 1
+        got = np.asarray(tiered(frames, transforms))
+        want = np.asarray(full(frames, transforms))
+        assert got.shape == want.shape == (4, 4, 71, 3)
+        np.testing.assert_allclose(got[:, 0], want[:, 0], atol=1e-4)
+        assert not got[:, 1:].any()      # dropped slots are exact zeros
+
+        # two active slots -> tier 2; cap-filling actives -> full program
+        transforms[2, 1] = warp.rect_to_transform(
+            (30.0, 20.0, 30.0, 30.0), 64, mirror=True)
+        assert tiered.tier_for(transforms) == 2
+        transforms[1, 3] = transforms[2, 1]
+        assert tiered.tier_for(transforms) == 4
+
     def test_topdown_collective_free(self):
         mesh = _mesh(4)
         face_model = zoo.load_face_model()
