@@ -313,6 +313,12 @@ def train_to_ap(steps: int = 1500,
     metrics = coco_eval.evaluate(saver.entries[json_io.VARIANT_BODY], gts)
     metrics.update(steps=steps, n_eval=n_eval, lr_schedule=lr_schedule,
                    target_sigma=target_sigma, **train_stats)
+    # device-resident step roofline (the host-fed img_s above bundles the
+    # per-step tunnel upload; this is what a co-located host sustains)
+    try:
+        metrics.update(train_loop.device_step_probe(config))
+    except Exception:
+        pass
     return metrics
 
 

@@ -81,11 +81,24 @@ class ShardedWholeBody:
         self._pose_enum = PoseModel(pose_model.info.name)
 
     # ------------------------------------------------------------------ #
-    def __call__(self, frames: np.ndarray) -> List[WholeBodyResult]:
-        """frames [B, H, W, 3] BGR uint8 (B divisible by the data axis)."""
+    def __call__(self, frames: np.ndarray,
+                 net_output=None) -> List[WholeBodyResult]:
+        """frames [B, H, W, 3] BGR uint8 (B divisible by the data axis).
+
+        net_output: optional [B, net_h/8, net_w/8, C] tensor injected in
+        place of the body CNN (requires a net_bypass=True body — the
+        Datum::poseNetOutput hook through the whole cascade: the face/hand
+        stages still crop from `frames` using the people assembled from
+        the injected maps)."""
         frames = np.asarray(frames)
         b = frames.shape[0]
-        out = self.body(frames)
+        if net_output is not None:
+            if not self.body.net_bypass:
+                raise ValueError("net_output injection needs a "
+                                 "net_bypass=True body stage")
+            out = self.body(np.asarray(net_output))
+        else:
+            out = self.body(frames)
         peaks, scores = self.body.fetch(*out)
         s_n2o = self.body.scale_net_to_output
 

@@ -16,10 +16,25 @@ frames by the SLOWEST process (true completion time), and
 
     efficiency(n) = fps_global(n) / (n * fps_global(1))
 
-Writes SCALING_r{round}.json with the per-config rates, the efficiency, and
-the collective-instruction counts of the compiled program (expected: {}).
+Measurement protocol (round 5 — the round-4 artifact committed a single
+0.672 run while the same test passed >=0.8 in-session, i.e. the number was
+noise-dominated): the harness host has very few cores (2 here), so ANY
+background load lands directly on one emulated host and shows up as
+imbalance.  This version
 
-Run:  python scripts/scaling_bench.py --out SCALING_r04.json
+* runs `--reps` PAIRED (1-host, 2-host) repetitions back-to-back so both
+  configs sample the same background-noise environment, and publishes the
+  MEDIAN efficiency with min/max spread over the pairs;
+* records per-process per-repetition wall times + loadavg so an imbalanced
+  run is diagnosable from the artifact instead of mysterious;
+* adds a 4-emulated-host point for the trend.  4 processes on 2 physical
+  cores are 2x oversubscribed BY CONSTRUCTION, so the raw 4-host
+  efficiency is bounded near 0.5 by the harness, not the framework; the
+  artifact therefore also reports the CORE-NORMALIZED efficiency
+  fps(4) / (min(4, n_cores) * fps(1)) — what the coordination layer costs
+  once compute is capped by physical cores.
+
+Run:  python scripts/scaling_bench.py --out SCALING_r05.json
 """
 
 import argparse
@@ -27,6 +42,7 @@ import json
 import os
 import pathlib
 import socket
+import statistics
 import subprocess
 import sys
 
@@ -34,7 +50,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 _WORKER = r"""
 import json, os, sys, time
-proc_id, n_proc, port, batch, iters = (int(v) for v in sys.argv[1:6])
+proc_id, n_proc, port, batch, iters, inner = (int(v) for v in sys.argv[1:7])
 # one emulated host = one physical core + one XLA device
 try:
     os.sched_setaffinity(0, {proc_id % os.cpu_count()})
@@ -63,15 +79,15 @@ local = np.random.RandomState(proc_id).randint(
 for _ in range(3):                       # compile + steady-state warmup
     jax.block_until_ready(inf(local))
 
-best_dt = float("inf")
-for _rep in range(3):
+dts = []
+for _rep in range(inner):
     t0 = time.perf_counter()
     for _ in range(iters):
         out = inf(local)
         jax.block_until_ready(out)
-    best_dt = min(best_dt, time.perf_counter() - t0)
+    dts.append(time.perf_counter() - t0)
 print("RESULT " + json.dumps({
-    "proc": proc_id, "dt": best_dt,
+    "proc": proc_id, "dts": dts,
     "local_frames": batch * iters}), flush=True)
 """
 
@@ -108,24 +124,35 @@ print("RESULT " + json.dumps(counts), flush=True)
 """
 
 
-def run_config(n_proc: int, batch: int, iters: int, workdir: pathlib.Path):
+def _env():
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = (str(pathlib.Path(__file__).resolve().parents[1])
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    return env
+
+
+def run_config(n_proc: int, batch: int, iters: int, inner: int,
+               workdir: pathlib.Path) -> dict:
+    """One launch of n_proc emulated hosts; `inner` timed repetitions each.
+
+    Per-repetition global fps pairs repetition i across processes (no
+    cross-process barrier exists inside the run — the program is
+    collective-free — but launches are near-simultaneous and each rep is
+    several seconds, so rep i samples the same wall-clock window)."""
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
     script = workdir / "scaling_worker.py"
     script.write_text(_WORKER)
-    env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)
-    env["PYTHONPATH"] = (str(pathlib.Path(__file__).resolve().parents[1])
-                         + os.pathsep + env.get("PYTHONPATH", ""))
     procs = [subprocess.Popen(
         [sys.executable, str(script), str(i), str(n_proc), str(port),
-         str(batch), str(iters)], env=env,
+         str(batch), str(iters), str(inner)], env=_env(),
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for i in range(n_proc)]
     results = []
     for i, p in enumerate(procs):
-        out, _ = p.communicate(timeout=1200)
+        out, _ = p.communicate(timeout=1800)
         if p.returncode != 0:
             for q in procs:
                 q.kill()
@@ -135,20 +162,22 @@ def run_config(n_proc: int, batch: int, iters: int, workdir: pathlib.Path):
                 results.append(json.loads(line[len("RESULT "):]))
     assert len(results) == n_proc, results
     global_frames = sum(r["local_frames"] for r in results)
-    slowest = max(r["dt"] for r in results)
-    return {"n_hosts": n_proc, "global_fps": global_frames / slowest,
-            "per_proc_dt": [r["dt"] for r in results]}
+    # rep-wise slowest process -> rep-wise global fps
+    rep_fps = [global_frames / max(r["dts"][k] for r in results)
+               for k in range(len(results[0]["dts"]))]
+    return {"n_hosts": n_proc,
+            "global_fps_best": max(rep_fps),
+            "global_fps_median": statistics.median(rep_fps),
+            "rep_fps": [round(f, 2) for f in rep_fps],
+            "per_proc_dts": {r["proc"]: [round(d, 3) for d in r["dts"]]
+                             for r in results}}
 
 
 def collective_census(workdir: pathlib.Path) -> dict:
     script = workdir / "scaling_hlo.py"
     script.write_text(_HLO_WORKER)
-    env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)
-    env["PYTHONPATH"] = (str(pathlib.Path(__file__).resolve().parents[1])
-                         + os.pathsep + env.get("PYTHONPATH", ""))
-    out = subprocess.run([sys.executable, str(script)], env=env,
-                         capture_output=True, text=True, timeout=1200)
+    out = subprocess.run([sys.executable, str(script)], env=_env(),
+                         capture_output=True, text=True, timeout=1800)
     if out.returncode != 0:
         raise RuntimeError(f"hlo census failed:\n{out.stdout[-2000:]}"
                            f"\n{out.stderr[-2000:]}")
@@ -158,16 +187,53 @@ def collective_census(workdir: pathlib.Path) -> dict:
     raise RuntimeError("no RESULT line from hlo census")
 
 
-def measure(batch: int = 8, iters: int = 12,
-            workdir: pathlib.Path = pathlib.Path("/tmp")) -> dict:
-    one = run_config(1, batch, iters, workdir)
-    two = run_config(2, batch, iters, workdir)
-    efficiency = two["global_fps"] / (2 * one["global_fps"])
+def measure(batch: int = 8, iters: int = 10, reps: int = 5,
+            inner: int = 2,
+            workdir: pathlib.Path = pathlib.Path("/tmp"),
+            four_host: bool = True) -> dict:
+    n_cores = os.cpu_count() or 1
+    load_start = os.getloadavg()
+    pair_effs = []
+    pair_detail = []
+    for rep in range(reps):
+        one = run_config(1, batch, iters, inner, workdir)
+        two = run_config(2, batch, iters, inner, workdir)
+        eff = two["global_fps_median"] / (2 * one["global_fps_median"])
+        eff_best = two["global_fps_best"] / (2 * one["global_fps_best"])
+        pair_effs.append(eff)
+        pair_detail.append({"pair": rep, "efficiency_median": round(eff, 4),
+                            "efficiency_best": round(eff_best, 4),
+                            "one_host": one, "two_hosts": two})
+        print(f"pair {rep}: eff(median)={eff:.4f} eff(best)={eff_best:.4f}",
+              file=sys.stderr, flush=True)
+    one_fps = statistics.median(
+        p["one_host"]["global_fps_median"] for p in pair_detail)
+    if four_host:
+        four = run_config(4, batch, iters, inner, workdir)
+        eff4_raw = four["global_fps_median"] / (4 * one_fps)
+        eff4_norm = four["global_fps_median"] / (min(4, n_cores) * one_fps)
+    else:
+        four, eff4_raw, eff4_norm = None, 0.0, 0.0
+    load_end = os.getloadavg()
     return {
         "config": "MPI_15_4 64x64 f32, 1 CPU device/host, "
-                  f"local batch {batch}",
-        "one_host": one, "two_hosts": two,
-        "efficiency_2_hosts": round(efficiency, 4),
+                  f"local batch {batch}, {iters} iters x {inner} reps, "
+                  f"{reps} paired launches",
+        "n_physical_cores": n_cores,
+        "efficiency_2_hosts_median": round(statistics.median(pair_effs), 4),
+        "efficiency_2_hosts_min": round(min(pair_effs), 4),
+        "efficiency_2_hosts_max": round(max(pair_effs), 4),
+        "pairs": pair_detail,
+        "four_hosts": four,
+        "efficiency_4_hosts_raw": round(eff4_raw, 4),
+        "efficiency_4_hosts_core_normalized": round(eff4_norm, 4),
+        "four_host_note": (
+            f"4 emulated hosts share {n_cores} physical cores "
+            f"({max(1, 4 // max(n_cores, 1))}x oversubscribed): the raw "
+            "efficiency is harness-bounded near "
+            f"{min(4, n_cores) / 4:.2f}; the core-normalized number "
+            "isolates coordination-layer cost"),
+        "loadavg_start": load_start, "loadavg_end": load_end,
         "collectives_inference": collective_census(workdir),
     }
 
@@ -175,10 +241,12 @@ def measure(batch: int = 8, iters: int = 12,
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--iters", type=int, default=12)
-    ap.add_argument("--out", default="SCALING_r04.json")
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--inner", type=int, default=2)
+    ap.add_argument("--out", default="SCALING_r05.json")
     args = ap.parse_args(argv)
-    report = measure(args.batch, args.iters)
+    report = measure(args.batch, args.iters, args.reps, args.inner)
     print(json.dumps(report, indent=2))
     if args.out:
         pathlib.Path(args.out).write_text(json.dumps(report, indent=2))

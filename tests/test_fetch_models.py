@@ -71,6 +71,40 @@ class TestFetchModels:
             np.asarray(loaded["conv1_1"]["w"]),
             np.asarray(params["conv1_1"]["w"]), rtol=1e-6)
 
+    def test_converted_npz_is_forward_equivalent(self, tmp_path,
+                                                 monkeypatch, mpi_blob):
+        """The full caffemodel -> npz -> pytree round trip: EVERY leaf
+        equals the source params and graph.forward on the converted tree
+        reproduces the source net's output bit-for-bit (keeps the
+        one-command real-weight path scripts/fetch_models.py +
+        scripts/coco_val.py from rotting while the download itself stays
+        externally blocked)."""
+        data, md5, params = mpi_blob
+        rel = patched_models(monkeypatch, md5)
+        src = tmp_path / "offline" / rel
+        src.parent.mkdir(parents=True)
+        src.write_bytes(data)
+        out = fetch_models.fetch_one("mpi_15", tmp_path / "m",
+                                     "http://unused",
+                                     from_dir=tmp_path / "offline")
+        loaded = checkpoint.load(str(fetch_models.convert_one("mpi_15",
+                                                              out)))
+        assert set(loaded) == set(params)
+        for layer, leaves in params.items():
+            assert set(loaded[layer]) == set(leaves), layer
+            for k, v in leaves.items():
+                np.testing.assert_array_equal(
+                    np.asarray(loaded[layer][k]), np.asarray(v),
+                    err_msg=f"{layer}/{k}")
+        jax.config.update("jax_platforms", "cpu")
+        spec = graph.load_spec("mpi_15")
+        x = np.random.RandomState(0).uniform(
+            -0.5, 0.5, (1, 32, 32, 3)).astype(np.float32)
+        import jax.numpy as jnp
+        want = graph.forward(params, spec, jnp.asarray(x), jnp.float32)
+        got = graph.forward(loaded, spec, jnp.asarray(x), jnp.float32)
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
     def test_fake_server_download(self, tmp_path, monkeypatch, mpi_blob):
         data, md5, _params = mpi_blob
         rel = patched_models(monkeypatch, md5)

@@ -151,9 +151,10 @@ def test_two_host_scaling_efficiency(tmp_path):
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]
                            / "scripts"))
     scaling_bench = importlib.import_module("scaling_bench")
-    report = scaling_bench.measure(batch=8, iters=8, workdir=tmp_path)
+    report = scaling_bench.measure(batch=8, iters=8, reps=3,
+                                   workdir=tmp_path, four_host=False)
     assert report["collectives_inference"] == {}
-    assert report["efficiency_2_hosts"] >= 0.8, report
+    assert report["efficiency_2_hosts_median"] >= 0.8, report
 
 
 @pytest.mark.slow
