@@ -128,6 +128,69 @@ def _refine_at_peaks(heat: jax.Array, peak_idx: jax.Array,
     return x_ref, y_ref, value
 
 
+def _refine_dense(heat: jax.Array, peak_idx: jax.Array,
+                  offset: Tuple[float, float]
+                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Full-budget refinement as dense separable box sums + K-wide gathers.
+
+    At the 127-slot budget the windowed gather path issues ~370k small
+    block gathers per batch-8 call (latency-bound on the TPU scalar
+    path); the centroid numerators/denominator are 7x7 BOX SUMS of
+    max(heat, 0), x*max(heat, 0), y*max(heat, 0), so computing them
+    DENSELY with two 1-D reduce_windows each (pure streaming VPU work,
+    ~0.8 GB at 368x656x26 batch 8 against ~819 GB/s HBM) and then
+    gathering K elements per (n, c) map beats the gather storm.  Zero
+    padding reproduces the reference's skipped out-of-bounds taps
+    (score<=0 samples contribute nothing); used only for the top tier —
+    small tiers keep the windowed gather (ops/nms._refine_at_peaks),
+    whose traffic is proportional to k.
+    """
+    n, h, w, c = heat.shape
+    # ONE transpose to C-major [N,C,H,W]: with C=26 minor the TPU pads the
+    # lane dimension 26 -> 128 (~5x wasted bandwidth on every pass), and
+    # transposing each box-sum result separately would add 3 more 200 MB
+    # relayouts; W-minor wastes only 656 -> 768.
+    chw = heat.transpose(0, 3, 1, 2)
+    hpos = jnp.maximum(chw, 0.0)
+    xs = jnp.arange(w, dtype=heat.dtype)[None, None, None, :]
+    ys = jnp.arange(h, dtype=heat.dtype)[None, None, :, None]
+
+    def box7(a):
+        """Separable 7x7 box sum via reduce_window — measured FASTER on
+        the TPU than both the 7-shifted-slices-summed formulation (27.8 vs
+        17.2 ms/iter whole-pass) and an NHWC layout variant; XLA's
+        reduce_window lowering keeps the sliding partial sums in
+        registers."""
+        a = jax.lax.reduce_window(a, 0.0, jax.lax.add, (1, 1, 7, 1),
+                                  (1, 1, 1, 1),
+                                  ((0, 0), (0, 0), (3, 3), (0, 0)))
+        return jax.lax.reduce_window(a, 0.0, jax.lax.add, (1, 1, 1, 7),
+                                     (1, 1, 1, 1),
+                                     ((0, 0), (0, 0), (0, 0), (3, 3)))
+
+    # Gather the 4 per-peak scalars WITHOUT scalar gathers (TPU scalarizes
+    # single-element gathers; 4 x 127 of them per map dominated the whole
+    # pass): fetch the peak ROW of each tensor (contiguous W-gather, the
+    # same shape the tier path uses) and select the column with a one-hot
+    # masked reduction over the lane dimension.  (Concatenating the four
+    # maps to share one gather was measured SLOWER — the 800 MB concat
+    # costs more than the extra gather descriptors.)
+    py = peak_idx // w                                        # [N,C,K]
+    px = peak_idx % w
+    onehot = jnp.arange(w, dtype=jnp.int32) == px[..., None]  # [N,C,K,W]
+
+    def at_peaks(a):              # [N,C,H,W] -> [N,C,K]
+        rows = jnp.take_along_axis(a, py[..., None], axis=2)  # [N,C,K,W]
+        return jnp.sum(jnp.where(onehot, rows, 0.0), axis=-1)
+
+    s_at = at_peaks(box7(hpos))
+    sx_at = at_peaks(box7(hpos * xs))
+    sy_at = at_peaks(box7(hpos * ys))
+    value = at_peaks(chw)
+    denom = jnp.where(s_at > 0, s_at, 1.0)
+    return (sx_at / denom + offset[0], sy_at / denom + offset[1], value)
+
+
 @functools.partial(jax.jit, static_argnames=("max_peaks", "offset",
                                              "fast_peaks"))
 def nms(heatmaps: jax.Array, threshold: jax.Array, max_peaks: int = 127,
@@ -209,24 +272,36 @@ def nms(heatmaps: jax.Array, threshold: jax.Array, max_peaks: int = 127,
     blk_counts = (cand_blocks < big).sum(axis=-1)       # [N,C,B]
     cum_bc = jnp.cumsum(blk_counts, axis=-1)            # inclusive
     b_id = jnp.minimum(_searchsorted_rows(cum_bc, ranks), k_blocks - 1)
-    before = jnp.take_along_axis(cum_bc, b_id, axis=-1) \
-        - jnp.take_along_axis(blk_counts, b_id, axis=-1)
+    # one-hot masked reductions instead of [N,C,K] single-element gathers:
+    # the TPU scalarizes element gathers (one scalar-unit load each; the
+    # ~26k of them here were a measurable chunk of the NMS pass), while a
+    # compare+select+sum over the candidate-block axis is pure VPU work.
+    b_onehot = b_id[..., None] == jnp.arange(k_blocks)  # [N,C,K,B]
+    before = jnp.sum(jnp.where(
+        b_onehot, (cum_bc - blk_counts)[..., None, :], 0), axis=-1)
     local_rank = ranks - before                         # [N,C,K], >= 1
     sel = jnp.take_along_axis(cand_blocks, b_id[..., None], axis=2)
     local_cum = jnp.cumsum((sel < big).astype(jnp.int32), axis=-1)
     pos = jnp.minimum(
         jnp.sum(local_cum < local_rank[..., None], axis=-1), bs - 1)
-    peak_idx = jnp.take_along_axis(
-        sel, pos[..., None], axis=-1)[..., 0]           # [N,C,max_peaks]
+    pos_onehot = pos[..., None] == jnp.arange(bs)       # [N,C,K,bs]
+    peak_idx = jnp.sum(jnp.where(pos_onehot, sel, 0),
+                       axis=-1)                         # [N,C,max_peaks]
     valid = peak_idx < big
     count = valid.sum(axis=-1).astype(jnp.float32)      # [N,C]
     peak_idx = jnp.where(valid, peak_idx, 0)
 
     def refined(k):
         """Refine the leading k slots, zero-pad the rest (exact when the
-        true count <= k everywhere)."""
-        x_ref, y_ref, value = _refine_at_peaks(heat, peak_idx[:, :, :k],
-                                               offset, blocked=k > 48)
+        true count <= k everywhere).  Small tiers gather their windows
+        (traffic ~ k); the large/full budget computes the centroid sums
+        densely (traffic ~ map size, independent of k)."""
+        if k > 48:
+            x_ref, y_ref, value = _refine_dense(heat, peak_idx[:, :, :k],
+                                                offset)
+        else:
+            x_ref, y_ref, value = _refine_at_peaks(heat, peak_idx[:, :, :k],
+                                                   offset, blocked=False)
         vk = valid[:, :, :k]
         peaks_k = jnp.stack([jnp.where(vk, x_ref, 0.0),
                              jnp.where(vk, y_ref, 0.0),

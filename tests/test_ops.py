@@ -32,6 +32,22 @@ class TestNms:
         np.testing.assert_allclose(got[1:n + 1], want[1:n + 1],
                                    rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.parametrize("seed", [0, 3])
+    def test_dense_full_budget_matches_oracle(self, seed):
+        """The k>48 tier refines via dense box sums (ops/nms._refine_dense)
+        instead of windowed gathers; a many-peak map with tiers disabled
+        must still match the scalar oracle at the full 127 budget."""
+        h, w = 72, 104
+        heat = _random_heat(h, w, 110, seed)      # dozens of peaks
+        want = oracle.nms_oracle(heat, 0.05, 127)
+        got = np.asarray(nms.nms(heat[None, :, :, None], 0.05, 127,
+                                 fast_peaks=()))[0, 0]
+        assert got[0, 0] == want[0, 0], "peak count mismatch"
+        n = int(want[0, 0])
+        assert n > 48, "test must exercise the dense tier"
+        np.testing.assert_allclose(got[1:n + 1], want[1:n + 1],
+                                   rtol=1e-4, atol=1e-4)
+
     def test_border_rules(self):
         # Peak on the first inner border uses >= (plateau allowed)
         heat = np.zeros((12, 12), np.float32)
