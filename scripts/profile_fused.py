@@ -23,7 +23,7 @@ def main():
     from openpose_tpu.models import zoo
     from openpose_tpu.ops import paf
     from openpose_tpu.params import POSE_MAX_PEOPLE, PoseModel
-    from openpose_tpu.utils.benchmark import chain_ms
+    from openpose_tpu.utils.benchmark import chain_ms, fold
 
     model = zoo.load_pose_model(PoseModel.BODY_25)
     info = model.info
@@ -82,7 +82,7 @@ def main():
             scores = paf.paf_scores_multiscale(
                 (synth + c * 1e-12,), (1.0,), (net_h, net_w), peaks_const,
                 *args_tail, fast_peaks=0, use_pallas=use_pallas)
-            return c + scores[0, 0, 0, 0] * 1e-12
+            return fold(c, scores)
         return step
 
     p("timing fused saturated (K=127)")

@@ -12,7 +12,7 @@ from openpose_tpu import train
 from openpose_tpu.models import zoo
 from openpose_tpu.ops import nms, paf, resize
 from openpose_tpu.params import POSE_MAX_PEOPLE, PoseModel
-from openpose_tpu.utils.benchmark import chain_ms
+from openpose_tpu.utils.benchmark import chain_ms, fold
 
 
 def main():
@@ -49,7 +49,7 @@ def main():
         m = resize.resize_bicubic((synth + c * 1e-12)[..., :num_parts],
                                   (net_h, net_w))
         pk = nms.nms(m, 0.05, POSE_MAX_PEOPLE)
-        return c + pk[0, 0, 0, 0] * 1e-12
+        return fold(c, pk)
 
     def step_paf_dynamic_peaks(c):
         # peaks perturbed -> cond predicate is runtime-dynamic
@@ -57,14 +57,14 @@ def main():
         sc = paf.paf_scores_multiscale(
             (synth + c * 1e-12,), (1.0,), (net_h, net_w), pk, pairs,
             map_idx, 0.05, 0.95, 0.05, fast_peaks=(16, 48))
-        return c + sc[0, 0, 0, 0] * 1e-12
+        return fold(c, sc)
 
     def step_paf_fixed16_dynamic(c):
         pk = peaks0 + c * 1e-12
         sc = paf.paf_scores_multiscale(
             (synth + c * 1e-12,), (1.0,), (net_h, net_w), pk, pairs,
             map_idx, 0.05, 0.95, 0.05, fast_peaks=16)
-        return c + sc[0, 0, 0, 0] * 1e-12
+        return fold(c, sc)
 
     def step_paf_notier_16cap(c):
         # no cond at all: slice peaks to 16 statically
@@ -72,7 +72,7 @@ def main():
         sc = paf.paf_scores_multiscale(
             (synth + c * 1e-12,), (1.0,), (net_h, net_w), pk, pairs,
             map_idx, 0.05, 0.95, 0.05, fast_peaks=0)
-        return c + sc[0, 0, 0, 0] * 1e-12
+        return fold(c, sc)
 
     t("resize + nms chained", step_resize_nms)
     t("paf ladder, dynamic peaks", step_paf_dynamic_peaks)

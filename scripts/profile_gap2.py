@@ -12,7 +12,7 @@ from openpose_tpu import train
 from openpose_tpu.models import zoo
 from openpose_tpu.ops import nms, paf, resize
 from openpose_tpu.params import POSE_MAX_PEOPLE, PoseModel
-from openpose_tpu.utils.benchmark import chain_ms
+from openpose_tpu.utils.benchmark import chain_ms, fold
 
 
 def main():
@@ -50,7 +50,7 @@ def main():
         sc = paf.paf_scores_multiscale(
             (src,), (1.0,), (net_h, net_w), pk, pairs, map_idx,
             0.05, 0.95, 0.05, fast_peaks=fast_peaks)
-        return c + pk[0, 0, 0, 0] * 1e-12 + sc[0, 0, 0, 0] * 1e-12
+        return fold(c, pk, sc)
 
     t("FULL ladder (16,48)", lambda c: full(c, (16, 48)))
     t("FULL single tier 16", lambda c: full(c, 16))

@@ -12,7 +12,7 @@ from openpose_tpu import train
 from openpose_tpu.models import zoo
 from openpose_tpu.ops import nms, paf, resize
 from openpose_tpu.params import POSE_MAX_PEOPLE, PoseModel
-from openpose_tpu.utils.benchmark import chain_ms
+from openpose_tpu.utils.benchmark import chain_ms, fold
 
 
 def main():
@@ -53,7 +53,7 @@ def main():
         sc = paf.paf_scores_multiscale(
             (src,), (1.0,), (net_h, net_w), pk, pairs, map_idx,
             0.05, 0.95, 0.05, fast_peaks=(16, 48))
-        return c + pk[0, 0, 0, 0] * 1e-12 + sc[0, 0, 0, 0] * 1e-12
+        return fold(c, pk, sc)
 
     def full_disconnected(c):
         # nms computed and used in the carry, but paf reads constant peaks
@@ -63,7 +63,7 @@ def main():
         sc = paf.paf_scores_multiscale(
             (src,), (1.0,), (net_h, net_w), peaks0 + c * 1e-12, pairs,
             map_idx, 0.05, 0.95, 0.05, fast_peaks=(16, 48))
-        return c + pk[0, 0, 0, 0] * 1e-12 + sc[0, 0, 0, 0] * 1e-12
+        return fold(c, pk, sc)
 
     def full_src_barrier(c):
         src = synth + c * 1e-12
@@ -73,7 +73,7 @@ def main():
         sc = paf.paf_scores_multiscale(
             (src2,), (1.0,), (net_h, net_w), pk2, pairs, map_idx,
             0.05, 0.95, 0.05, fast_peaks=(16, 48))
-        return c + pk[0, 0, 0, 0] * 1e-12 + sc[0, 0, 0, 0] * 1e-12
+        return fold(c, pk, sc)
 
     t("FULL + barrier on pk", full_barrier)
     t("FULL + barrier on (src, pk)", full_src_barrier)

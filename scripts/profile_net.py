@@ -39,7 +39,7 @@ def main(argv=None) -> int:
     from openpose_tpu.models import graph, zoo
     from openpose_tpu.ops import resize
     from openpose_tpu.params import PoseModel
-    from openpose_tpu.utils.benchmark import chain_ms
+    from openpose_tpu.utils.benchmark import chain_ms, fold
     from openpose_tpu.utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()
 
@@ -65,7 +65,7 @@ def main(argv=None) -> int:
             out = graph.forward(model.params, sub,
                                 resize.normalize_vgg(images + c * 1e-12),
                                 jnp.bfloat16)
-            return c + out[0, 0, 0, 0] * 1e-12
+            return fold(c, out)
         return step
 
     kind = jax.devices()[0].device_kind

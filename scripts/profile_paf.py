@@ -30,7 +30,7 @@ def main():
     from openpose_tpu.models import zoo
     from openpose_tpu.ops import nms, paf, resize
     from openpose_tpu.params import POSE_MAX_PEOPLE, PoseModel
-    from openpose_tpu.utils.benchmark import chain_ms
+    from openpose_tpu.utils.benchmark import chain_ms, fold
 
     model = zoo.load_pose_model(PoseModel.BODY_25)
     info = model.info
@@ -70,20 +70,20 @@ def main():
         merged = resize.resize_bicubic(synth[..., :num_parts] + c * 1e-12,
                                        (net_h, net_w))
         pk = nms.nms(merged, 0.05, K)
-        return c + pk[0, 0, 0, 0] * 1e-12
+        return fold(c, pk)
 
     def step_paf_full(c):
         scores = paf.paf_scores_multiscale(
             (synth + c * 1e-12,), (1.0,), (net_h, net_w), peaks_const,
             pairs, map_idx, 0.05, 0.95, 0.05, fast_peaks=0)
-        return c + scores[0, 0, 0, 0] * 1e-12
+        return fold(c, scores)
 
     def step_paf_xla(c):
         scores = paf.paf_scores_multiscale(
             (synth + c * 1e-12,), (1.0,), (net_h, net_w), peaks_const,
             pairs, map_idx, 0.05, 0.95, 0.05, fast_peaks=0,
             use_pallas=False)
-        return c + scores[0, 0, 0, 0] * 1e-12
+        return fold(c, scores)
 
     # sampler alone: same S = K*K*25 per (n, pair)
     S = K * K * 25
@@ -101,7 +101,7 @@ def main():
         vx, vy = jax.vmap(
             lambda lo, m, x: sample_bicubic_pallas(
                 lo + c * 1e-12, m, x, net_h / hs, net_w / ws))(low_xy, my, mx)
-        return c + vx[0, 0, 0] * 1e-12 + vy[0, 0, 0] * 1e-12
+        return fold(c, vx, vy)
 
     def step_geometry(c):
         geo = paf._line_geometry(peaks_const + c * 1e-12, pairs,

@@ -12,7 +12,7 @@ from openpose_tpu import train
 from openpose_tpu.models import zoo
 from openpose_tpu.ops import nms, paf, resize
 from openpose_tpu.params import POSE_MAX_PEOPLE, PoseModel
-from openpose_tpu.utils.benchmark import chain_ms
+from openpose_tpu.utils.benchmark import chain_ms, fold
 
 
 def main():
@@ -50,29 +50,29 @@ def main():
     def step_resize(c):
         m = resize.resize_bicubic((synth + c * 1e-12)[..., :num_parts],
                                   (net_h, net_w))
-        return c + m[0, 0, 0, 0] * 1e-12
+        return fold(c, m)
 
     def step_nms(c):
         pk = nms.nms(merged0 + c * 1e-12, 0.05, POSE_MAX_PEOPLE)
-        return c + pk[0, 0, 0, 0] * 1e-12
+        return fold(c, pk)
 
     def step_paf_fast(c):
         sc = paf.paf_scores_multiscale(
             (synth + c * 1e-12,), (1.0,), (net_h, net_w), peaks0, pairs,
             map_idx, 0.05, 0.95, 0.05, fast_peaks=32)
-        return c + sc[0, 0, 0, 0] * 1e-12
+        return fold(c, sc)
 
     def step_paf_fast16(c):
         sc = paf.paf_scores_multiscale(
             (synth + c * 1e-12,), (1.0,), (net_h, net_w), peaks0, pairs,
             map_idx, 0.05, 0.95, 0.05, fast_peaks=16)
-        return c + sc[0, 0, 0, 0] * 1e-12
+        return fold(c, sc)
 
     def step_paf_ladder(c):
         sc = paf.paf_scores_multiscale(
             (synth + c * 1e-12,), (1.0,), (net_h, net_w), peaks0, pairs,
             map_idx, 0.05, 0.95, 0.05, fast_peaks=(16, 48))
-        return c + sc[0, 0, 0, 0] * 1e-12
+        return fold(c, sc)
 
     def step_full_post(c):
         src = synth + c * 1e-12
@@ -81,7 +81,7 @@ def main():
         sc = paf.paf_scores_multiscale(
             (src,), (1.0,), (net_h, net_w), pk, pairs, map_idx,
             0.05, 0.95, 0.05, fast_peaks=(16, 48))
-        return c + pk[0, 0, 0, 0] * 1e-12 + sc[0, 0, 0, 0] * 1e-12
+        return fold(c, pk, sc)
 
     t("resize_bicubic 26ch", step_resize)
     t("nms (full res)", step_nms)
