@@ -507,7 +507,8 @@ def _roofline_ok(label: str, gflops_per_frame: float,
     peak = _bf16_peak_tflops(jax.devices()[0].device_kind)
     if not peak or not ms_per_frame:
         return True        # unknown chip (e.g. CPU smoke run): no basis
-    implied = gflops_per_frame / ms_per_frame / 1e3
+    # GFLOP/frame divided by ms/frame IS TFLOP/s (1e9 FLOP / 1e-3 s)
+    implied = gflops_per_frame / ms_per_frame
     if implied > peak * 1.02:
         print(f"ROOFLINE GUARD: {label} implies {implied:.0f} TFLOP/s "
               f"> chip peak {peak:.0f} — measurement invalid, row "
