@@ -51,142 +51,61 @@ def _searchsorted_rows(cum: jax.Array, ranks: jax.Array) -> jax.Array:
     return jnp.sum(cum[..., None, :] < ranks[:, None], axis=-1)
 
 
-def _refine_at_peaks(heat: jax.Array, peak_idx: jax.Array,
-                     offset: Tuple[float, float],
-                     blocked: bool = True
-                     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Sub-pixel refinement gathered only at the peak windows.
-
-    heat: [N, H, W, C] (layout preserved — no full-map transpose);
-    peak_idx: [N, C, K] flat row-major indices.  Returns refined
-    (x, y, peak_value) [N, C, K].  Mirrors nmsAccuratePeakPosition
-    (nmsBase.cpp:70-107): score-weighted centroid of score>0 samples over
-    the in-bounds part of the 7x7 window, plus the (+0.5, +0.5) offset.
-
-    Gather shape matters enormously here: 49 independent element gathers per
-    peak cost ~3 ms/frame at batch 8 (TPU gathers of single f32s run on the
-    scalar path), and 7x7 tile gathers were no better.  Two shapes are used
-    depending on the slot budget (measured batch-8 368x656 post chain):
-
-    * blocked=False (small tiers, k <= ~48): fetch the 7 FULL ROWS covering
-      each window — at small k the row tensor is cheap and the single
-      7-gather wins (blocked at tier 16 cost +1.4 ms/iter of extra gather
-      dispatch);
-    * blocked=True (large budgets): fetch, per window row, the TWO aligned
-      64-px column blocks covering the window (a 7-px window always fits in
-      128 aligned columns) — ~W/128 of the full-row traffic, which at
-      k=127 cut the worst-case post chain 20.5 -> 19.0 ms/iter.
-
-    Either way the column selection is a masked reduction over the lane
-    dimension, and taps outside the true window mask to zero, reproducing
-    the reference's skipped out-of-bounds taps exactly.
-    """
-    n, h, w, c = heat.shape
-    k = peak_idx.shape[2]
-    py = peak_idx // w                                   # [N,C,K]
-    px = peak_idx % w
-    d = jnp.arange(-3, 4, dtype=jnp.int32)
-    wy = py[..., None] + d                               # [N,C,K,7]
-    row_ok = (wy >= 0) & (wy < h)
-    ri = jnp.clip(wy, 0, h - 1)                          # [N,C,K,7]
-
-    heat_nchw = heat.transpose(0, 3, 1, 2)               # [N,C,H,W], W minor
-    bs = 64
-    nbw = -(-w // bs)
-    if not blocked or nbw == 1:
-        flat = ri.reshape(n, c, k * 7)
-        win = jnp.take_along_axis(
-            heat_nchw, flat[..., None], axis=2).reshape(n, c, k, 7, w)
-        xs = jnp.arange(w, dtype=jnp.int32)
-        xs_local = jnp.broadcast_to(xs, px.shape + (w,))
-    else:
-        if nbw * bs != w:
-            heat_nchw = jnp.pad(heat_nchw,
-                                ((0, 0),) * 3 + ((0, nbw * bs - w),))
-        blocks = heat_nchw.reshape(n, c, h * nbw, bs)
-        blk_lo = jnp.clip((px - 3) // bs, 0, nbw - 2)    # [N,C,K]
-        # flat (row, block) indices for the two adjacent blocks of each row
-        base = ri * nbw + blk_lo[..., None]              # [N,C,K,7]
-        flat = jnp.stack([base, base + 1], axis=-1).reshape(n, c, k * 14)
-        win = jnp.take_along_axis(
-            blocks, flat[..., None], axis=2).reshape(n, c, k, 7, 2 * bs)
-        xs_local = blk_lo[..., None] * bs \
-            + jnp.arange(2 * bs, dtype=jnp.int32)        # [N,C,K,128]
-
-    mask_x = (jnp.abs(xs_local - px[..., None]) <= 3) \
-        & (xs_local < w)                                 # [N,C,K,L]
-    s = jnp.where(mask_x[..., None, :] & row_ok[..., None],
-                  jnp.maximum(win, 0.0), 0.0)            # [N,C,K,7,L]
-    s_sum = s.sum(axis=(-1, -2))
-    denom = jnp.where(s_sum > 0, s_sum, 1.0)
-    x_ref = (s.sum(axis=-2) * xs_local).sum(axis=-1) / denom + offset[0]
-    y_ref = (s.sum(axis=-1) * wy.astype(s.dtype)).sum(axis=-1) / denom \
-        + offset[1]
-    center = (xs_local == px[..., None])[..., None, :] \
-        & (wy == py[..., None])[..., None]
-    value = jnp.sum(jnp.where(center, win, 0.0), axis=(-1, -2))
-    return x_ref, y_ref, value
-
-
 def _refine_dense(heat: jax.Array, peak_idx: jax.Array,
                   offset: Tuple[float, float]
                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Full-budget refinement as dense separable box sums + K-wide gathers.
+    """Full-budget refinement as BAND-MATRIX contractions on the MXU.
 
-    At the 127-slot budget the windowed gather path issues ~370k small
-    block gathers per batch-8 call (latency-bound on the TPU scalar
-    path); the centroid numerators/denominator are 7x7 BOX SUMS of
-    max(heat, 0), x*max(heat, 0), y*max(heat, 0), so computing them
-    DENSELY with two 1-D reduce_windows each (pure streaming VPU work,
-    ~0.8 GB at 368x656x26 batch 8 against ~819 GB/s HBM) and then
-    gathering K elements per (n, c) map beats the gather storm.  Zero
-    padding reproduces the reference's skipped out-of-bounds taps
-    (score<=0 samples contribute nothing); used only for the top tier —
-    small tiers keep the windowed gather (ops/nms._refine_at_peaks),
-    whose traffic is proportional to k.
+    At the 127-slot budget every gather shape loses: 49 element gathers
+    per peak scalarize (~3 ms/frame), 7-row window gathers are
+    descriptor-bound (~9 ms/iter at batch 8), and dense 7x7 box sums over
+    the full map pay ~10 ms/iter of reduce_window + row-gather traffic.
+    The TPU-native shape is a matmul: the 7-row window SUM of
+    max(heat, 0) for all K peaks of one map is
+
+        band[K, H] @ hpos[H, W]          band[k, y] = 1{|y - py_k| <= 3}
+
+    and the y-weighted sum uses band*y — one einsum over the stacked
+    [N, C, 2K+1(K), H] left factors per map (~51 GFLOP batch 8, seconds of
+    VPU work replaced by microseconds of MXU).  The column window is then
+    a masked reduce over the lane dimension of the [N, C, K, W] products.
+    Precision.HIGHEST keeps the contraction f32-exact (DEFAULT's
+    single-pass bf16 would round the map values ~0.4%, visible against
+    the scalar oracle); the band entries are exact 0/1 and ints < 2^24,
+    so the sums match the masked-sum formulation to f32 rounding.  Out-of
+    -bounds taps never enter (the band clips at the map edge), matching
+    the reference's skipped samples (nmsBase.cpp:70-107).  Used for EVERY tier:
+    it ties the windowed-gather formulation at k=16 (8.0 vs 8.1 ms/iter
+    whole-pass) and is 2.5x faster at the full budget.
     """
     n, h, w, c = heat.shape
-    # ONE transpose to C-major [N,C,H,W]: with C=26 minor the TPU pads the
-    # lane dimension 26 -> 128 (~5x wasted bandwidth on every pass), and
-    # transposing each box-sum result separately would add 3 more 200 MB
-    # relayouts; W-minor wastes only 656 -> 768.
+    k = peak_idx.shape[2]
+    # C-major [N,C,H,W]: W-minor pads 656 -> 768 lanes vs C-minor's
+    # 26 -> 128 (~5x waste) for every pass below
     chw = heat.transpose(0, 3, 1, 2)
     hpos = jnp.maximum(chw, 0.0)
-    xs = jnp.arange(w, dtype=heat.dtype)[None, None, None, :]
-    ys = jnp.arange(h, dtype=heat.dtype)[None, None, :, None]
-
-    def box7(a):
-        """Separable 7x7 box sum via reduce_window — measured FASTER on
-        the TPU than both the 7-shifted-slices-summed formulation (27.8 vs
-        17.2 ms/iter whole-pass) and an NHWC layout variant; XLA's
-        reduce_window lowering keeps the sliding partial sums in
-        registers."""
-        a = jax.lax.reduce_window(a, 0.0, jax.lax.add, (1, 1, 7, 1),
-                                  (1, 1, 1, 1),
-                                  ((0, 0), (0, 0), (3, 3), (0, 0)))
-        return jax.lax.reduce_window(a, 0.0, jax.lax.add, (1, 1, 1, 7),
-                                     (1, 1, 1, 1),
-                                     ((0, 0), (0, 0), (0, 0), (3, 3)))
-
-    # Gather the 4 per-peak scalars WITHOUT scalar gathers (TPU scalarizes
-    # single-element gathers; 4 x 127 of them per map dominated the whole
-    # pass): fetch the peak ROW of each tensor (contiguous W-gather, the
-    # same shape the tier path uses) and select the column with a one-hot
-    # masked reduction over the lane dimension.  (Concatenating the four
-    # maps to share one gather was measured SLOWER — the 800 MB concat
-    # costs more than the extra gather descriptors.)
     py = peak_idx // w                                        # [N,C,K]
     px = peak_idx % w
-    onehot = jnp.arange(w, dtype=jnp.int32) == px[..., None]  # [N,C,K,W]
-
-    def at_peaks(a):              # [N,C,H,W] -> [N,C,K]
-        rows = jnp.take_along_axis(a, py[..., None], axis=2)  # [N,C,K,W]
-        return jnp.sum(jnp.where(onehot, rows, 0.0), axis=-1)
-
-    s_at = at_peaks(box7(hpos))
-    sx_at = at_peaks(box7(hpos * xs))
-    sy_at = at_peaks(box7(hpos * ys))
-    value = at_peaks(chw)
+    ih = jnp.arange(h, dtype=jnp.int32)
+    f32 = jnp.float32
+    bandy = (jnp.abs(ih - py[..., None]) <= 3).astype(f32)    # [N,C,K,H]
+    lhs = jnp.concatenate([
+        bandy,                                                # 7-row sums
+        bandy * ih.astype(f32),                               # y-weighted
+    ], axis=2)                                                # [N,C,2K,H]
+    prod = jnp.einsum("nckh,nchw->nckw", lhs, hpos,
+                      precision=jax.lax.Precision.HIGHEST)
+    rows7, yrows7 = prod[:, :, :k], prod[:, :, k:]            # [N,C,K,W]
+    vrow = jnp.einsum("nckh,nchw->nckw",
+                      (ih == py[..., None]).astype(f32), chw,
+                      precision=jax.lax.Precision.HIGHEST)
+    iw = jnp.arange(w, dtype=jnp.int32)
+    bandx = jnp.abs(iw - px[..., None]) <= 3                  # [N,C,K,W]
+    xsw = iw.astype(f32)
+    s_at = jnp.sum(jnp.where(bandx, rows7, 0.0), axis=-1)
+    sx_at = jnp.sum(jnp.where(bandx, rows7 * xsw, 0.0), axis=-1)
+    sy_at = jnp.sum(jnp.where(bandx, yrows7, 0.0), axis=-1)
+    value = jnp.sum(jnp.where(iw == px[..., None], vrow, 0.0), axis=-1)
     denom = jnp.where(s_at > 0, s_at, 1.0)
     return (sx_at / denom + offset[0], sy_at / denom + offset[1], value)
 
@@ -202,10 +121,10 @@ def nms(heatmaps: jax.Array, threshold: jax.Array, max_peaks: int = 127,
     slots 1..count are (x, y, score) in row-major discovery order.
 
     fast_peaks: tier ladder for the sub-pixel refinement (same pattern as
-    paf.paf_scores_multiscale).  The refinement fetches 7 heatmap rows per
-    peak SLOT; at the static max_peaks=127 that is ~470 MB of HBM traffic
-    per batch-8 call even when frames carry a handful of peaks — it
-    dominated the whole post chain (~2.1 ms/frame measured).  Nested
+    paf.paf_scores_multiscale).  Refinement cost scales with the SLOT
+    budget, not the true peak count — at the static max_peaks=127 the
+    band-matmul left factors and [N, C, K, W] products are ~8x the
+    tier-16 size even when frames carry a handful of peaks.  Nested
     lax.cond picks the smallest tier covering this batch's true max count;
     slots beyond the tier are invalid by construction (count <= k), so
     refining only the leading k slots is exact.  Pass () to disable.
@@ -293,15 +212,11 @@ def nms(heatmaps: jax.Array, threshold: jax.Array, max_peaks: int = 127,
 
     def refined(k):
         """Refine the leading k slots, zero-pad the rest (exact when the
-        true count <= k everywhere).  Small tiers gather their windows
-        (traffic ~ k); the large/full budget computes the centroid sums
-        densely (traffic ~ map size, independent of k)."""
-        if k > 48:
-            x_ref, y_ref, value = _refine_dense(heat, peak_idx[:, :, :k],
-                                                offset)
-        else:
-            x_ref, y_ref, value = _refine_at_peaks(heat, peak_idx[:, :, :k],
-                                                   offset, blocked=False)
+        true count <= k everywhere).  One path for every tier: the
+        band-matmul formulation ties the windowed gather at k=16 and is
+        2.5x faster at the full 127 budget (see _refine_dense)."""
+        x_ref, y_ref, value = _refine_dense(heat, peak_idx[:, :, :k],
+                                            offset)
         vk = valid[:, :, :k]
         peaks_k = jnp.stack([jnp.where(vk, x_ref, 0.0),
                              jnp.where(vk, y_ref, 0.0),
