@@ -202,6 +202,14 @@ def paf_scores_multiscale(
     max_peaks = peaks.shape[2] - 1
     if isinstance(fast_peaks, int):
         fast_peaks = (fast_peaks,) if fast_peaks > 0 else ()
+    if use_pallas and max_peaks <= 32:
+        # The fused kernel pads the B-peak dimension to the 128-lane tile,
+        # so at small people caps most of every tap build and matmul is
+        # wasted lanes: measured at the 4-scale 736x1312 config with
+        # max_peaks=16, the XLA tap-matrix backend runs 4.75 ms/frame vs
+        # the kernel's 14.14.  Above ~1/4 tile occupancy the kernel's VMEM
+        # residency and per-row early-exit win (127-budget worst case).
+        use_pallas = False
     if use_pallas:
         # The fused kernel skips invalid A-rows dynamically (per pair, per
         # frame), which strictly dominates the whole-batch tier ladder.
