@@ -17,8 +17,11 @@ nmsBase.cu):
 Output layout matches the reference target blob: [N, C, max_peaks+1, 3] with
 slot 0 carrying the peak count in component 0.
 
-The implementation is pure XLA: shifted compares + two separable 7-tap
-convolutions + top_k compaction — all fusable, no data-dependent shapes.
+The implementation is pure XLA with no gathers on the hot path: shifted
+compares for the 3x3 test, a sort-free searchsorted compaction with
+one-hot selections, and band-matrix MXU contractions for the 7x7
+sub-pixel refinement — all static shapes, tier-laddered by the batch's
+true max peak count.
 """
 
 from __future__ import annotations
