@@ -207,8 +207,10 @@ def paf_scores_multiscale(
         # so at small people caps most of every tap build and matmul is
         # wasted lanes: measured at the 4-scale 736x1312 config with
         # max_peaks=16, the XLA tap-matrix backend runs 4.75 ms/frame vs
-        # the kernel's 14.14.  Above ~1/4 tile occupancy the kernel's VMEM
-        # residency and per-row early-exit win (127-budget worst case).
+        # the kernel's 14.14; at single-scale 368x656 K=16 the two tie
+        # (0.451 vs 0.460), so the routing never regresses.  Above ~1/4
+        # tile occupancy the kernel's VMEM residency and per-row
+        # early-exit win (127-budget worst case).
         use_pallas = False
     if use_pallas:
         # The fused kernel skips invalid A-rows dynamically (per pair, per
