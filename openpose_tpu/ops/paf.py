@@ -197,21 +197,21 @@ def paf_scores_multiscale(
     and fall through to the full computation for crowded frames.  Pass an
     int for a single tier or 0/() to disable.
     """
-    if use_pallas is None:
-        use_pallas = _use_pallas_default()
     max_peaks = peaks.shape[2] - 1
+    if use_pallas is None:
+        # Occupancy routing (explicit True/False is honored — the parity
+        # tests force the kernel at small K): the fused kernel pads the
+        # B-peak dimension to the 128-lane tile, so at small people caps
+        # most of every tap build and matmul is wasted lanes — measured at
+        # the 4-scale 736x1312 config with max_peaks=16, the XLA
+        # tap-matrix backend runs 4.75 ms/frame vs the kernel's 14.14; at
+        # single-scale 368x656 K=16 the two tie (0.451 vs 0.460), so the
+        # routing never regresses.  Above ~1/4 tile occupancy the
+        # kernel's VMEM residency and per-row early-exit win (127-budget
+        # worst case).
+        use_pallas = _use_pallas_default() and max_peaks > 32
     if isinstance(fast_peaks, int):
         fast_peaks = (fast_peaks,) if fast_peaks > 0 else ()
-    if use_pallas and max_peaks <= 32:
-        # The fused kernel pads the B-peak dimension to the 128-lane tile,
-        # so at small people caps most of every tap build and matmul is
-        # wasted lanes: measured at the 4-scale 736x1312 config with
-        # max_peaks=16, the XLA tap-matrix backend runs 4.75 ms/frame vs
-        # the kernel's 14.14; at single-scale 368x656 K=16 the two tie
-        # (0.451 vs 0.460), so the routing never regresses.  Above ~1/4
-        # tile occupancy the kernel's VMEM residency and per-row
-        # early-exit win (127-budget worst case).
-        use_pallas = False
     if use_pallas:
         # The fused kernel skips invalid A-rows dynamically (per pair, per
         # frame), which strictly dominates the whole-batch tier ladder.

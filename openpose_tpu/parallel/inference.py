@@ -103,9 +103,11 @@ class ShardedPoseInference:
         # Pallas availability must follow the MESH's devices, not the
         # process default backend: a virtual-CPU mesh in a process whose
         # default backend is the TPU (e.g. entry() ran first) would
-        # otherwise trace the fused kernel into a CPU program.
+        # otherwise trace the fused kernel into a CPU program.  On a TPU
+        # mesh, None defers to the kernel's occupancy routing (the fused
+        # kernel only wins above ~1/4 of the 128-lane tile, ops/paf.py).
         mesh_platform = next(iter(self.mesh.devices.flat)).platform
-        use_pallas = mesh_platform == "tpu"
+        use_pallas = None if mesh_platform == "tpu" else False
 
         def run(params, images):
             from openpose_tpu.models import graph as _graph
